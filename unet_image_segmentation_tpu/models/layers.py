@@ -1,0 +1,146 @@
+"""Flax building blocks for the TPU U-Net.
+
+Parameter shapes intentionally mirror Keras so that reference-trained
+checkpoints (``.h5``) import 1:1 (see :mod:`..utils.keras_import`):
+
+* ``SeparableConv``: ``depthwise_kernel (k,k,C,1)``, ``pointwise_kernel
+  (1,1,C,F)``, ``bias (F,)`` — reference ``model/u_net.py:14-21``.
+* ``ConvBlock``: [Separable]Conv -> BatchNorm -> ReLU with
+  ``use_bias = not use_batch_norm`` — reference ``model/u_net.py:5-26``.
+* ``TransposeUp``: ``kernel (2,2,F,C)``, ``bias (F,)`` — reference
+  ``model/u_net.py:91-97`` (computed as a matmul + pixel shuffle, see
+  :func:`..ops.conv.conv_transpose_2x2`).
+
+BatchNorm uses the Keras defaults (momentum 0.99, epsilon 1e-3) rather than
+the Flax defaults, for numerical parity.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from unet_image_segmentation_tpu.ops import conv as conv_ops
+
+Dtype = Any
+
+# Keras kernel default: glorot_uniform. Flax's variance_scaling computes
+# fan-in/out from the trailing two axes + receptive field, identically to
+# Keras' _compute_fans, so distributions match on Keras-shaped kernels.
+glorot_uniform = nn.initializers.variance_scaling(1.0, "fan_avg", "uniform")
+
+
+class SeparableConv(nn.Module):
+    """Depthwise(k x k) + pointwise(1x1) conv, Keras SeparableConv2D parity."""
+
+    features: int
+    kernel_size: int = 3
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        k = self.kernel_size
+        depthwise = self.param(
+            "depthwise_kernel", glorot_uniform, (k, k, c, 1), jnp.float32
+        )
+        pointwise = self.param(
+            "pointwise_kernel", glorot_uniform, (1, 1, c, self.features), jnp.float32
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        return conv_ops.separable_conv2d(
+            x.astype(self.dtype), depthwise, pointwise, bias
+        )
+
+
+class Conv(nn.Module):
+    """Plain Conv2D with Keras-shaped kernel (kh, kw, C, F)."""
+
+    features: int
+    kernel_size: int = 3
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", glorot_uniform, (k, k, c, self.features), jnp.float32
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        x = x.astype(self.dtype)
+        if k == 1:
+            return conv_ops.pointwise_conv2d(x, kernel, bias)
+        return conv_ops.conv2d(x, kernel, bias)
+
+
+class ConvBlock(nn.Module):
+    """[Separable]Conv -> BN -> ReLU (reference conv_block, u_net.py:5-26)."""
+
+    features: int
+    kernel_size: int = 3
+    use_batch_norm: bool = True
+    conv_type: str = "separable"  # 'separable' | 'full'
+    dtype: Dtype = jnp.float32
+    bn_axis_name: Optional[str] = None  # set for cross-replica BN stats
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        conv_cls: Callable[..., nn.Module]
+        if self.conv_type == "separable":
+            conv_cls, conv_name = SeparableConv, "sepconv"
+        elif self.conv_type == "full":
+            conv_cls, conv_name = Conv, "conv"
+        else:
+            raise ValueError(f"conv_type must be 'separable'|'full', got {self.conv_type!r}")
+        x = conv_cls(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            use_bias=not self.use_batch_norm,
+            dtype=self.dtype,
+            name=conv_name,
+        )(x)
+        if self.use_batch_norm:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.99,
+                epsilon=1e-3,
+                dtype=self.dtype,
+                axis_name=self.bn_axis_name if train else None,
+                name="bn",
+            )(x)
+        return nn.relu(x)
+
+
+class TransposeUp(nn.Module):
+    """Conv2DTranspose(features, k=2, s=2, 'same') as matmul+pixel-shuffle."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel", glorot_uniform, (2, 2, self.features, c), jnp.float32
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        return conv_ops.conv_transpose_2x2(x.astype(self.dtype), kernel, bias)

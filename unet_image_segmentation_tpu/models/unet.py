@@ -1,0 +1,134 @@
+"""TPU-native Flax U-Net.
+
+Architecture parity with reference ``model/u_net.py:28-116``:
+
+* Encoder: 4 stages (filters 64/128/256/512), two ConvBlocks + 2x2 MaxPool
+  each (``u_net.py:57-69``); skips saved *before* pooling.
+* Bottleneck: two ConvBlocks at 1024 filters + Dropout(rate)
+  (``u_net.py:71-78``).
+* Decoder: per stage — Conv2DTranspose(k=2, s=2) -> Concatenate([up, skip])
+  -> Dropout (skipped on the last/shallowest stage, ``u_net.py:97``) ->
+  two ConvBlocks (``u_net.py:80-101``).
+* Head: 1x1 Conv, sigmoid if ``num_classes == 1`` else softmax
+  (``u_net.py:103-112``).
+
+Module names follow the reference's deterministic layer names
+(``enc{s}_block{n}``, ``bneck_block{n}``, ``dec{s}_upsample`` …) so
+checkpoints are self-describing and Keras ``.h5`` imports map 1:1.
+
+TPU-first choices: NHWC everywhere, transpose-conv as MXU matmul,
+reshape-based max-pool, optional bfloat16 compute with float32 params, and
+(optionally) Pallas fused sepconv blocks for inference.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from unet_image_segmentation_tpu.config import ModelConfig
+from unet_image_segmentation_tpu.models.layers import ConvBlock, TransposeUp
+from unet_image_segmentation_tpu.ops.conv import max_pool_2x2
+
+
+class UNet(nn.Module):
+    num_classes: int = 1
+    filters: Tuple[int, ...] = (64, 128, 256, 512)
+    dropout_rate: float = 0.2
+    use_batch_norm: bool = True
+    conv_type: str = "separable"  # 'separable' (reference) | 'full' (configs[2])
+    dtype: Any = jnp.float32
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if x.ndim != 4:
+            raise ValueError(f"expected NHWC input, got shape {x.shape}")
+        h, w = x.shape[1], x.shape[2]
+        depth = len(self.filters)
+        if h % (2**depth) or w % (2**depth):
+            raise ValueError(
+                f"spatial dims {h}x{w} must be divisible by {2**depth}"
+            )
+
+        def block(feat: int, name: str) -> ConvBlock:
+            return ConvBlock(
+                features=feat,
+                use_batch_norm=self.use_batch_norm,
+                conv_type=self.conv_type,
+                dtype=self.dtype,
+                bn_axis_name=self.bn_axis_name,
+                name=name,
+            )
+
+        x = x.astype(self.dtype)
+        skips = []
+        # --- Encoder ---
+        for i, f in enumerate(self.filters):
+            stage = i + 1
+            x = block(f, f"enc{stage}_block1")(x, train)
+            x = block(f, f"enc{stage}_block2")(x, train)
+            skips.append(x)
+            x = max_pool_2x2(x)
+
+        # --- Bottleneck ---
+        bneck = self.filters[-1] * 2
+        x = block(bneck, "bneck_block1")(x, train)
+        x = block(bneck, "bneck_block2")(x, train)
+        if self.dropout_rate > 0.0:
+            x = nn.Dropout(
+                rate=self.dropout_rate, deterministic=not train, name="bneck_dropout"
+            )(x)
+
+        # --- Decoder ---
+        rev_filters = tuple(reversed(self.filters))
+        rev_skips = list(reversed(skips))
+        for i, f in enumerate(rev_filters):
+            stage = depth - i
+            x = TransposeUp(features=f, dtype=self.dtype, name=f"dec{stage}_upsample")(x)
+            x = jnp.concatenate([x, rev_skips[i]], axis=-1)
+            if self.dropout_rate > 0.0 and i < depth - 1:
+                x = nn.Dropout(
+                    rate=self.dropout_rate,
+                    deterministic=not train,
+                    name=f"dec{stage}_dropout",
+                )(x)
+            x = block(f, f"dec{stage}_block1")(x, train)
+            x = block(f, f"dec{stage}_block2")(x, train)
+
+        # --- Head (computed in float32 for a stable sigmoid/softmax) ---
+        from unet_image_segmentation_tpu.models.layers import Conv
+
+        logits = Conv(
+            features=self.num_classes, kernel_size=1, dtype=self.dtype, name="output_mask"
+        )(x)
+        logits = logits.astype(jnp.float32)
+        if self.num_classes == 1:
+            return jax.nn.sigmoid(logits)
+        return jax.nn.softmax(logits, axis=-1)
+
+
+def build_unet(cfg: ModelConfig, bn_axis_name: Optional[str] = None) -> UNet:
+    """Construct a :class:`UNet` from a :class:`..config.ModelConfig`."""
+    return UNet(
+        num_classes=cfg.num_classes,
+        filters=tuple(cfg.filters),
+        dropout_rate=cfg.dropout_rate,
+        use_batch_norm=cfg.use_batch_norm,
+        conv_type=cfg.conv_type,
+        dtype=jnp.dtype(cfg.compute_dtype),
+        bn_axis_name=bn_axis_name,
+    )
+
+
+def init_unet(
+    model: UNet,
+    rng: jax.Array,
+    input_shape: Sequence[int],
+) -> dict:
+    """Initialize variables for ``(1, H, W, C)`` input; returns the var dict."""
+    dummy = jnp.zeros((1, *input_shape), jnp.float32)
+    return model.init({"params": rng}, dummy, train=False)

@@ -1,0 +1,165 @@
+"""Functional convolution ops, laid out for the TPU MXU.
+
+These back the Flax modules in :mod:`..models.layers`. All tensors are NHWC
+(the TPU-native layout) and all kernels use Keras-compatible shapes so
+reference ``.h5`` checkpoints import without transposition gymnastics:
+
+* depthwise kernel  ``(kh, kw, C, 1)``   (Keras SeparableConv2D.depthwise)
+* pointwise kernel  ``(1, 1, C, F)``     (Keras SeparableConv2D.pointwise)
+* transpose kernel  ``(2, 2, F, C)``     (Keras Conv2DTranspose)
+
+TPU-first design notes:
+
+* The pointwise conv and the 2x2-stride-2 transpose conv are expressed as
+  plain matmuls (``jnp.einsum``) — the MXU's native operation — rather than
+  generic conv primitives.  For kernel=stride=2 and 'same' padding, every
+  output pixel of a transpose conv receives exactly one kernel tap, so the
+  op *is* a matmul followed by a pixel-shuffle reshape (no overlap-add).
+* The depthwise 3x3 is the one VPU-bound op; it is the Pallas fusion target
+  (``ops/pallas/fused_sepconv.py`` fuses depthwise+pointwise+BN+ReLU into a
+  single VMEM-resident kernel for inference).
+* MaxPool 2x2 is a reshape+max, which XLA fuses into neighbours, instead of
+  a reduce_window.
+
+Reference behaviours rebuilt here: SeparableConv2D / Conv2DTranspose /
+MaxPooling2D usage in ``model/u_net.py:14-101``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_DN_NHWC = ("NHWC", "HWIO", "NHWC")
+
+
+def depthwise_conv2d(
+    x: jax.Array,
+    kernel: jax.Array,
+    *,
+    padding: str = "SAME",
+) -> jax.Array:
+    """Depthwise 2-D conv, channel multiplier 1.
+
+    x: (B, H, W, C); kernel: (kh, kw, C, 1) (Keras layout).
+    """
+    kh, kw, c, mult = kernel.shape
+    assert mult == 1, "depth multiplier != 1 not supported"
+    # lax depthwise layout: rhs (kh, kw, 1, C*mult) with feature_group_count=C.
+    rhs = jnp.transpose(kernel, (0, 1, 3, 2)).reshape(kh, kw, 1, c * mult)
+    return lax.conv_general_dilated(
+        x,
+        rhs.astype(x.dtype),
+        window_strides=(1, 1),
+        padding=padding,
+        dimension_numbers=_DN_NHWC,
+        feature_group_count=c,
+    )
+
+
+def pointwise_conv2d(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: Optional[jax.Array] = None,
+) -> jax.Array:
+    """1x1 conv as an MXU matmul. kernel: (1, 1, C, F) or (C, F)."""
+    if kernel.ndim == 4:
+        kernel = kernel.reshape(kernel.shape[-2], kernel.shape[-1])
+    y = jnp.einsum(
+        "bhwc,cf->bhwf",
+        x,
+        kernel.astype(x.dtype),
+        preferred_element_type=x.dtype,
+    )
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+def separable_conv2d(
+    x: jax.Array,
+    depthwise_kernel: jax.Array,
+    pointwise_kernel: jax.Array,
+    bias: Optional[jax.Array] = None,
+    *,
+    padding: str = "SAME",
+) -> jax.Array:
+    """SeparableConv2D = depthwise then pointwise (+ optional bias)."""
+    y = depthwise_conv2d(x, depthwise_kernel, padding=padding)
+    return pointwise_conv2d(y, pointwise_kernel, bias)
+
+
+def conv2d(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: Optional[jax.Array] = None,
+    *,
+    padding: str = "SAME",
+) -> jax.Array:
+    """Plain 2-D conv; kernel (kh, kw, C, F) (Keras/HWIO layout)."""
+    y = lax.conv_general_dilated(
+        x,
+        kernel.astype(x.dtype),
+        window_strides=(1, 1),
+        padding=padding,
+        dimension_numbers=_DN_NHWC,
+    )
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+def conv_transpose_2x2(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Keras ``Conv2DTranspose(F, kernel_size=2, strides=2, padding='same')``.
+
+    kernel: (2, 2, F, C) (Keras transpose layout: ..., out, in).
+
+    With kernel == stride there is no overlap-add: output pixel
+    ``(2h+i, 2w+j, f) = sum_c x[h, w, c] * K[i, j, f, c]``.  So we run one
+    (B*H*W, C) x (C, 4F) matmul on the MXU and pixel-shuffle the result —
+    dramatically cheaper on TPU than a general conv_transpose lowering.
+    Rebuilds reference ``model/u_net.py:91-97`` decoder upsampling.
+    """
+    b, h, w, c = x.shape
+    kh, kw, f, c_in = kernel.shape
+    assert (kh, kw) == (2, 2) and c_in == c, (kernel.shape, x.shape)
+    # (2,2,F,C) -> (C, 2,2,F) -> (C, 4F)
+    wmat = jnp.transpose(kernel, (3, 0, 1, 2)).reshape(c, 4 * f)
+    y = jnp.einsum(
+        "bhwc,cf->bhwf", x, wmat.astype(x.dtype), preferred_element_type=x.dtype
+    )
+    y = y.reshape(b, h, w, 2, 2, f)
+    # (B, H, 2, W, 2, F) -> (B, 2H, 2W, F)
+    y = jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(b, 2 * h, 2 * w, f)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+def max_pool_2x2(x: jax.Array) -> jax.Array:
+    """2x2 stride-2 max pool via reshape (reference enc pooling, u_net.py:69)."""
+    b, h, w, c = x.shape
+    assert h % 2 == 0 and w % 2 == 0, f"odd spatial dims {x.shape}"
+    y = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return jnp.max(y, axis=(2, 4))
+
+
+def batch_norm_inference(
+    x: jax.Array,
+    mean: jax.Array,
+    var: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+    eps: float = 1e-3,
+) -> jax.Array:
+    """Inference-mode BN as a folded affine (Keras epsilon default 1e-3)."""
+    scale = gamma * lax.rsqrt(var + eps)
+    offset = beta - mean * scale
+    return x * scale.astype(x.dtype) + offset.astype(x.dtype)

@@ -1,0 +1,65 @@
+"""Jittable segmentation losses.
+
+Reference parity (``utils/loss.py``):
+
+* :func:`dice_loss` = ``1 - dice_coef`` (``loss.py:9-29``)
+* :func:`iou_loss` = ``1 - iou_coef`` (``loss.py:31-45``) — note the
+  reference version crashes with ``NameError`` if ever called because it
+  never imports ``iou_coef`` (``loss.py:43``); this implementation is the
+  working fix (BASELINE configs[2] exercises IoU loss).
+* :data:`jaccard_loss` — alias of :func:`iou_loss` (``loss.py:48``)
+* :func:`bce_loss` — binary cross-entropy with Keras-style probability
+  clipping, for the BCE-vs-Dice-vs-IoU variant in BASELINE configs[2].
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from unet_image_segmentation_tpu.ops.metrics import SMOOTH, dice_coef, iou_coef
+
+
+def dice_loss(y_true: jax.Array, y_pred: jax.Array) -> jax.Array:
+    y_true = y_true.astype(jnp.float32)
+    y_pred = y_pred.astype(jnp.float32)
+    return 1.0 - dice_coef(y_true, y_pred)
+
+
+def iou_loss(y_true: jax.Array, y_pred: jax.Array, smooth: float = SMOOTH) -> jax.Array:
+    return 1.0 - iou_coef(y_true, y_pred, smooth=smooth)
+
+
+# Alias for Jaccard loss (reference utils/loss.py:48).
+jaccard_loss = iou_loss
+
+
+def bce_loss(y_true: jax.Array, y_pred: jax.Array, eps: float = SMOOTH) -> jax.Array:
+    """Binary cross-entropy on probabilities, mean over all elements.
+
+    Matches ``keras.backend.binary_crossentropy`` numerics: predictions are
+    clipped to [eps, 1-eps] before the log.
+    """
+    y_true = y_true.astype(jnp.float32)
+    y_pred = jnp.clip(y_pred.astype(jnp.float32), eps, 1.0 - eps)
+    ce = -(y_true * jnp.log(y_pred) + (1.0 - y_true) * jnp.log(1.0 - y_pred))
+    return jnp.mean(ce)
+
+
+_LOSSES: dict[str, Callable[..., jax.Array]] = {
+    "dice": dice_loss,
+    "iou": iou_loss,
+    "jaccard": jaccard_loss,
+    "bce": bce_loss,
+}
+
+
+def get_loss(name: str) -> Callable[..., jax.Array]:
+    try:
+        return _LOSSES[name]
+    except KeyError:
+        raise ValueError(
+            f"Unknown loss {name!r}; available: {sorted(_LOSSES)}"
+        ) from None
