@@ -1,0 +1,92 @@
+"""Synthetic MIDV-style dataset generation.
+
+Produces small document-on-background images with filled-quad masks that
+look statistically like the MIDV rasterization output (reference
+``scripts/download_dataset_midv.py:52-67``), for CPU-runnable convergence
+tests and benchmarking without the FTP download.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def random_quad(rng: np.random.RandomState, h: int, w: int) -> np.ndarray:
+    """A convex-ish document quad occupying 30-80% of the frame."""
+    cx, cy = rng.uniform(0.35, 0.65) * w, rng.uniform(0.35, 0.65) * h
+    hw, hh = rng.uniform(0.15, 0.4) * w, rng.uniform(0.15, 0.4) * h
+    base = np.array(
+        [[cx - hw, cy - hh], [cx + hw, cy - hh], [cx + hw, cy + hh], [cx - hw, cy + hh]]
+    )
+    jitter = rng.uniform(-0.05, 0.05, (4, 2)) * [w, h]
+    quad = np.clip(base + jitter, 0, [w - 1, h - 1])
+    return quad.astype(np.float32)
+
+
+def render_sample(
+    rng: np.random.RandomState, h: int, w: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Return (image_uint8 RGB, mask_uint8 {0,255}, quad (4,2))."""
+    import cv2
+
+    quad = random_quad(rng, h, w)
+    img = rng.randint(0, 80, (h, w, 3), dtype=np.uint8)  # dark background
+    img = cv2.GaussianBlur(img, (5, 5), 0)
+    doc_color = rng.randint(150, 255, 3).tolist()
+    cv2.fillPoly(img, [quad.astype(np.int32)], doc_color)
+    # Some texture lines on the "document"
+    for _ in range(4):
+        p1 = quad[0] + rng.rand(2) * (quad[2] - quad[0])
+        p2 = quad[0] + rng.rand(2) * (quad[2] - quad[0])
+        cv2.line(img, tuple(p1.astype(int)), tuple(p2.astype(int)), (60, 60, 90), 1)
+    mask = np.zeros((h, w), np.uint8)
+    cv2.fillPoly(mask, [quad.astype(np.int32)], 255)
+    return img, mask, quad
+
+
+def write_synthetic_dataset(
+    root: str,
+    n_train: int = 16,
+    n_val: int = 4,
+    image_size: Tuple[int, int] = (64, 64),
+    seed: int = 230,
+) -> str:
+    """Write the reference directory contract under ``root``.
+
+    Layout (reference scripts/train.py:79-82):
+    ``{root}/{train,val}_{frames,masks}/image/image{N}.png``
+    """
+    import cv2
+
+    rng = np.random.RandomState(seed)
+    h, w = image_size
+    splits = {"train": n_train, "val": n_val}
+    for split, n in splits.items():
+        fdir = os.path.join(root, f"{split}_frames", "image")
+        mdir = os.path.join(root, f"{split}_masks", "image")
+        os.makedirs(fdir, exist_ok=True)
+        os.makedirs(mdir, exist_ok=True)
+        for i in range(n):
+            img, mask, _ = render_sample(rng, h, w)
+            cv2.imwrite(os.path.join(fdir, f"image{i:04d}.png"), img[..., ::-1])
+            cv2.imwrite(os.path.join(mdir, f"image{i:04d}.png"), mask)
+    return root
+
+
+def synthetic_batch(
+    rng: np.random.RandomState,
+    batch_size: int,
+    image_size: Tuple[int, int] = (256, 256),
+) -> Tuple[np.ndarray, np.ndarray]:
+    """In-memory (images, masks) float32 batch for benchmarks."""
+    h, w = image_size
+    imgs = np.empty((batch_size, h, w, 3), np.float32)
+    masks = np.empty((batch_size, h, w, 1), np.float32)
+    for i in range(batch_size):
+        img, mask, _ = render_sample(rng, h, w)
+        imgs[i] = img.astype(np.float32) / 255.0
+        masks[i] = (mask.astype(np.float32) / 255.0)[..., None]
+    return imgs, masks

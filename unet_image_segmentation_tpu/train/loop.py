@@ -1,0 +1,251 @@
+"""The training loop — reference ``model.fit`` rebuilt around a pjit step.
+
+Per epoch: prefetched host batches -> device (sharded over the mesh's
+'data' axis) -> one fused XLA train step -> host-side metric accumulation
+(scalar means + 2x2 confusion matrices) -> validation pass -> callbacks
+(best checkpoint / early stop / LR plateau / TensorBoard) — the same
+observable behaviour as reference ``scripts/train.py:308-331``, plus true
+resume, which the reference lacks (SURVEY.md §5 checkpoint/resume).
+
+Metric names mirror Keras logs: ``loss``, ``dice_coef``, ``mean_io_u``
+(Keras int-cast semantics — pessimistic, see ops.metrics), ``val_*``
+variants, plus the corrected ``mean_io_u_thresh`` pair.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from unet_image_segmentation_tpu.config import Config
+from unet_image_segmentation_tpu.data.loader import DirectoryDataset, Prefetcher, make_loaders
+from unet_image_segmentation_tpu.models.unet import build_unet
+from unet_image_segmentation_tpu.ops.metrics import mean_iou_from_cm
+from unet_image_segmentation_tpu.parallel.mesh import batch_sharding, create_mesh
+from unet_image_segmentation_tpu.train import checkpoint as ckpt_lib
+from unet_image_segmentation_tpu.train.callbacks import (
+    BestCheckpoint,
+    CallbackList,
+    EarlyStopping,
+    ReduceLROnPlateau,
+    TensorBoardLogger,
+)
+from unet_image_segmentation_tpu.train.state import TrainState, create_train_state
+from unet_image_segmentation_tpu.train.steps import make_eval_step, make_train_step
+
+
+@dataclass
+class FitResult:
+    state: TrainState
+    history: Dict[str, List[float]] = field(default_factory=dict)
+    best_score: float = float("nan")
+    best_epoch: int = -1
+    stopped_epoch: int = -1
+    epochs_run: int = 0
+
+
+class _EpochMetrics:
+    """Host-side accumulator: scalar means + summed confusion matrices."""
+
+    def __init__(self) -> None:
+        self.sums: Dict[str, float] = {}
+        self.cms: Dict[str, np.ndarray] = {}
+        self.n = 0
+
+    def update(self, metrics: Dict[str, jax.Array]) -> None:
+        host = jax.device_get(metrics)
+        for k, v in host.items():
+            if k.startswith("cm_"):
+                self.cms[k] = self.cms.get(k, 0) + np.asarray(v)
+            else:
+                self.sums[k] = self.sums.get(k, 0.0) + float(v)
+        self.n += 1
+
+    def result(self, prefix: str = "") -> Dict[str, float]:
+        out = {prefix + k: v / max(self.n, 1) for k, v in self.sums.items()}
+        if "cm_raw" in self.cms:
+            out[prefix + "mean_io_u"] = float(
+                mean_iou_from_cm(jax.numpy.asarray(self.cms["cm_raw"]))
+            )
+        if "cm_thresh" in self.cms:
+            out[prefix + "mean_io_u_thresh"] = float(
+                mean_iou_from_cm(jax.numpy.asarray(self.cms["cm_thresh"]))
+            )
+        if prefix + "dice" in out:
+            out[prefix + "dice_coef"] = out.pop(prefix + "dice")
+        return out
+
+
+def fit(
+    cfg: Config,
+    train_ds: Optional[DirectoryDataset] = None,
+    val_ds: Optional[DirectoryDataset] = None,
+    mesh=None,
+    state: Optional[TrainState] = None,
+    callbacks: Optional[List[Any]] = None,
+    verbose: bool = True,
+) -> FitResult:
+    tcfg = cfg.train
+    if train_ds is None or val_ds is None:
+        train_ds, val_ds = make_loaders(cfg)
+    if mesh is None:
+        mesh = create_mesh()
+    model = build_unet(cfg.model)
+    if state is None:
+        state = create_train_state(cfg)
+
+    model_kwargs = dict(
+        num_classes=cfg.model.num_classes,
+        filters=list(cfg.model.filters),
+        dropout_rate=cfg.model.dropout_rate,
+        use_batch_norm=cfg.model.use_batch_norm,
+        conv_type=cfg.model.conv_type,
+        image_height=cfg.model.image_height,
+        image_width=cfg.model.image_width,
+        image_channels=cfg.model.image_channels,
+    )
+
+    if callbacks is None:
+        log_dir = os.path.join(tcfg.log_dir, time.strftime("%Y%m%d_%H%M%S"))
+        callbacks = [
+            BestCheckpoint(
+                tcfg.model_out,
+                monitor=tcfg.monitor,
+                mode=tcfg.monitor_mode,
+                model_kwargs=model_kwargs,
+                verbose=verbose,
+            ),
+            EarlyStopping(
+                monitor=tcfg.monitor,
+                mode=tcfg.monitor_mode,
+                patience=tcfg.early_stop_patience,
+                restore_best_weights=tcfg.restore_best_weights,
+                verbose=verbose,
+            ),
+            ReduceLROnPlateau(
+                monitor=tcfg.monitor,
+                mode=tcfg.monitor_mode,
+                factor=tcfg.reduce_lr_factor,
+                patience=tcfg.reduce_lr_patience,
+                min_lr=tcfg.min_lr,
+                verbose=verbose,
+            ),
+            TensorBoardLogger(log_dir, histogram_freq=tcfg.histogram_freq),
+        ]
+    cb_list = CallbackList(callbacks)
+
+    start_epoch = 0
+    if tcfg.resume:
+        meta = ckpt_lib.read_meta(tcfg.model_out)
+        last = os.path.join(os.path.abspath(tcfg.model_out), "last")
+        if meta is not None and os.path.isdir(last):
+            state = ckpt_lib.restore_state(last, state)
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            cb_list.load_state_dict(meta.get("callbacks", {}))
+            if "learning_rate" in meta:
+                state = state.set_learning_rate(float(meta["learning_rate"]))
+            if verbose:
+                print(f"Resumed from {last} at epoch {start_epoch}")
+
+    train_step = make_train_step(model, tcfg.loss)
+    eval_step = make_eval_step(model, tcfg.loss)
+    data_sharding = batch_sharding(mesh)
+
+    def put(batch):
+        return tuple(jax.device_put(np.asarray(x), data_sharding) for x in batch)
+
+    steps_per_epoch = max(1, len(train_ds) // tcfg.batch_size)
+    val_steps = max(1, len(val_ds) // tcfg.batch_size)
+    history: Dict[str, List[float]] = {}
+    result = FitResult(state=state, history=history)
+
+    n_data = mesh.shape["data"]
+    if tcfg.batch_size % n_data:
+        raise ValueError(
+            f"batch_size {tcfg.batch_size} not divisible by data-parallel "
+            f"degree {n_data}"
+        )
+
+    for epoch in range(start_epoch, tcfg.epochs):
+        t0 = time.perf_counter()
+        acc = _EpochMetrics()
+        batches = Prefetcher(
+            train_ds.batches(
+                tcfg.batch_size,
+                epoch=epoch,
+                steps=steps_per_epoch,
+                num_workers=cfg.data.num_workers,
+            ),
+            depth=cfg.data.prefetch,
+        )
+        for images, masks in batches:
+            images, masks = put((images, masks))
+            state, metrics = train_step(state, images, masks)
+            acc.update(metrics)
+        logs = acc.result()
+
+        vacc = _EpochMetrics()
+        vbatches = Prefetcher(
+            val_ds.batches(
+                tcfg.batch_size,
+                epoch=0,
+                steps=val_steps,
+                num_workers=cfg.data.num_workers,
+            ),
+            depth=cfg.data.prefetch,
+        )
+        for images, masks in vbatches:
+            images, masks = put((images, masks))
+            vacc.update(eval_step(state, images, masks))
+        logs.update(vacc.result(prefix="val_"))
+        logs["epoch_time_sec"] = time.perf_counter() - t0
+
+        state = cb_list.on_epoch_end(epoch, logs, state)
+
+        for k, v in logs.items():
+            history.setdefault(k, []).append(float(v))
+        if verbose:
+            msg = " - ".join(
+                f"{k}: {v:.4f}"
+                for k, v in logs.items()
+                if k in (
+                    "loss", "dice_coef", "mean_io_u", "val_loss",
+                    "val_dice_coef", "val_mean_io_u", "val_mean_io_u_thresh",
+                )
+            )
+            print(f"Epoch {epoch + 1}/{tcfg.epochs} "
+                  f"[{logs['epoch_time_sec']:.1f}s] {msg}")
+
+        # persist resume metadata alongside the rolling 'last' checkpoint
+        meta = {
+            "epoch": epoch,
+            "monitor": tcfg.monitor,
+            "mode": tcfg.monitor_mode,
+            "callbacks": cb_list.state_dict(),
+            "learning_rate": float(jax.device_get(state.learning_rate)),
+            "config": cfg.to_dict(),
+        }
+        out_dir = os.path.abspath(tcfg.model_out)
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=2, default=float)
+
+        result.epochs_run = epoch + 1
+        if cb_list.should_stop:
+            result.stopped_epoch = epoch
+            break
+
+    for cb in cb_list.callbacks:
+        if isinstance(cb, BestCheckpoint):
+            result.best_score = cb.best
+            result.best_epoch = cb.best_epoch
+        if isinstance(cb, EarlyStopping) and cb.stopped_epoch >= 0:
+            result.stopped_epoch = cb.stopped_epoch
+    result.state = state
+    return result

@@ -1,0 +1,143 @@
+"""Jitted train/eval steps (the hot loop).
+
+One fused XLA program per step: forward U-Net -> loss -> backward -> AdamW
+update -> metric contributions (reference hot loop, SURVEY.md §3.1).  Under
+a ('data', 'spatial') mesh with the batch sharded on 'data', GSPMD inserts
+the gradient all-reduce over ICI automatically — the TPU-native replacement
+for the reference's (absent) distributed story.
+
+Note on BatchNorm: with a batch sharded over the mesh, the BN batch moments
+are computed *globally* (XLA all-reduces the per-device partial sums), i.e.
+cross-replica BN. The reference is single-device so its BN is per-replica
+by definition; at its default batch of 2 (train.py:72) global stats are the
+*better-behaved* choice. Documented per SURVEY.md §7.3 hard-part 3.
+
+Metrics returned per step:
+* ``loss`` — batch loss (mean over batch like Keras).
+* ``dice`` — dice_coef (reference metric, train.py:231-233).
+* ``cm_raw`` — 2x2 confusion matrix with Keras MeanIoU's int-cast
+  semantics (pessimistic; for parity with reference logs).
+* ``cm_thresh`` — thresholded (>0.5) confusion matrix (deployed
+  semantics, used for the acceptance gate).
+Confusion matrices are accumulated on host across an epoch and reduced via
+:func:`..ops.metrics.mean_iou_from_cm`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from unet_image_segmentation_tpu.models.unet import UNet
+from unet_image_segmentation_tpu.ops.losses import get_loss
+from unet_image_segmentation_tpu.ops.metrics import confusion_matrix, dice_coef
+from unet_image_segmentation_tpu.train.state import TrainState
+
+Metrics = Dict[str, jax.Array]
+
+
+def _metric_bundle(masks: jax.Array, preds: jax.Array, num_classes: int) -> Metrics:
+    nc = max(num_classes, 2)
+    if num_classes > 1:
+        # softmax head: argmax class map vs integer mask
+        pred_cls = jnp.argmax(preds, axis=-1)
+        true_cls = masks[..., 0] if masks.ndim == preds.ndim else masks
+        cm_raw = confusion_matrix(true_cls, pred_cls, nc)
+        cm_thresh = cm_raw
+    else:
+        cm_raw = confusion_matrix(masks, preds, nc, threshold=None)
+        cm_thresh = confusion_matrix(masks, preds, nc, threshold=0.5)
+    return {
+        "dice": dice_coef(masks, preds),
+        "cm_raw": cm_raw,
+        "cm_thresh": cm_thresh,
+    }
+
+
+def make_train_step(
+    model: UNet,
+    loss_name: str = "dice",
+    donate: bool = True,
+) -> Callable[[TrainState, jax.Array, jax.Array], Tuple[TrainState, Metrics]]:
+    """Build the jitted train step for ``model``."""
+    loss_fn_core = get_loss(loss_name)
+    has_bn = model.use_batch_norm
+    needs_dropout = model.dropout_rate > 0.0
+
+    def step_fn(
+        state: TrainState, images: jax.Array, masks: jax.Array
+    ) -> Tuple[TrainState, Metrics]:
+        dropout_rng = jax.random.fold_in(state.rng, state.step)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if has_bn:
+                variables["batch_stats"] = state.batch_stats
+            rngs = {"dropout": dropout_rng} if needs_dropout else None
+            if has_bn:
+                preds, mutated = state.apply_fn(
+                    variables, images, train=True, mutable=["batch_stats"], rngs=rngs
+                )
+                new_stats = mutated["batch_stats"]
+            else:
+                preds = state.apply_fn(variables, images, train=True, rngs=rngs)
+                new_stats = state.batch_stats
+            loss = loss_fn_core(masks, preds)
+            return loss, (preds, new_stats)
+
+        (loss, (preds, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates
+        )
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        metrics = {"loss": loss, **_metric_bundle(masks, preds, model.num_classes)}
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step_fn, donate_argnums=donate_argnums)
+
+
+def make_eval_step(
+    model: UNet, loss_name: str = "dice"
+) -> Callable[[TrainState, jax.Array, jax.Array], Metrics]:
+    """Jitted validation step (BN running stats, no dropout)."""
+    loss_fn_core = get_loss(loss_name)
+    has_bn = model.use_batch_norm
+
+    def eval_fn(state: TrainState, images: jax.Array, masks: jax.Array) -> Metrics:
+        variables = {"params": state.params}
+        if has_bn:
+            variables["batch_stats"] = state.batch_stats
+        preds = state.apply_fn(variables, images, train=False)
+        loss = loss_fn_core(masks, preds)
+        return {"loss": loss, **_metric_bundle(masks, preds, model.num_classes)}
+
+    return jax.jit(eval_fn)
+
+
+def make_predict_fn(
+    model: UNet,
+    params: Any,
+    batch_stats: Optional[Any] = None,
+) -> Callable[[jax.Array], jax.Array]:
+    """Jitted pure forward (inference) closure over fixed variables."""
+    variables = {"params": params}
+    if batch_stats is not None and model.use_batch_norm:
+        variables["batch_stats"] = batch_stats
+
+    @jax.jit
+    def predict(images: jax.Array) -> jax.Array:
+        return model.apply(variables, images, train=False)
+
+    return predict
