@@ -60,13 +60,17 @@ def measure_ours(batch_size: int = 32, compute_dtype: str = "bfloat16") -> dict:
     _log(f"compiling train step (batch={batch_size}, {compute_dtype}) ...")
     for _ in range(WARMUP):
         state, metrics = train_step(state, images, masks)
-    jax.block_until_ready(state.params)
+    # NOTE: hard sync via scalar device_get — on tunneled backends
+    # block_until_ready can return before execution completes.
+    loss = float(jax.device_get(metrics["loss"]))
+    assert np.isfinite(loss), f"non-finite warmup loss {loss}"
 
     t0 = time.perf_counter()
     for _ in range(STEPS):
         state, metrics = train_step(state, images, masks)
-    jax.block_until_ready(state.params)
+    loss = float(jax.device_get(metrics["loss"]))
     dt = time.perf_counter() - t0
+    assert np.isfinite(loss), f"non-finite loss {loss}"
 
     ips = STEPS * batch_size / dt
     _log(f"ours: {ips:.1f} images/sec ({dt / STEPS * 1e3:.1f} ms/step)")
