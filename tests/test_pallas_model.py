@@ -1,0 +1,95 @@
+"""Pallas-path U-Net vs XLA-path U-Net: identical variables => identical
+outputs, batch-stat updates, and gradients (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unet_image_segmentation_tpu.config import ModelConfig
+from unet_image_segmentation_tpu.models.unet import build_unet, init_unet
+from unet_image_segmentation_tpu.ops.losses import dice_loss
+
+HW = 32
+
+
+def _models():
+    base = dict(image_height=HW, image_width=HW, filters=(8, 16), dropout_rate=0.0)
+    cfg_x = ModelConfig(**base)
+    cfg_p = ModelConfig(use_pallas=True, **base)
+    m_x, m_p = build_unet(cfg_x), build_unet(cfg_p)
+    variables = init_unet(m_x, jax.random.PRNGKey(0), cfg_x.input_shape)
+    return m_x, m_p, variables
+
+
+def test_variable_trees_identical():
+    m_x, m_p, variables = _models()
+    v_p = init_unet(m_p, jax.random.PRNGKey(0), (HW, HW, 3))
+    paths_x = {
+        jax.tree_util.keystr(p): v.shape
+        for p, v in jax.tree_util.tree_leaves_with_path(variables)
+    }
+    paths_p = {
+        jax.tree_util.keystr(p): v.shape
+        for p, v in jax.tree_util.tree_leaves_with_path(v_p)
+    }
+    assert paths_x == paths_p
+
+
+def test_eval_forward_parity():
+    m_x, m_p, variables = _models()
+    x = jnp.asarray(np.random.RandomState(1).rand(2, HW, HW, 3), jnp.float32)
+    y_x = np.asarray(m_x.apply(variables, x, train=False))
+    y_p = np.asarray(m_p.apply(variables, x, train=False))
+    np.testing.assert_allclose(y_p, y_x, atol=1e-4, rtol=1e-4)
+
+
+def test_train_forward_and_batch_stats_parity():
+    m_x, m_p, variables = _models()
+    x = jnp.asarray(np.random.RandomState(2).rand(2, HW, HW, 3), jnp.float32)
+    y_x, mut_x = m_x.apply(variables, x, train=True, mutable=["batch_stats"])
+    y_p, mut_p = m_p.apply(variables, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x), atol=1e-4, rtol=1e-4)
+    flat_x = jax.tree_util.tree_leaves_with_path(mut_x["batch_stats"])
+    flat_p = dict(
+        (jax.tree_util.keystr(p), v)
+        for p, v in jax.tree_util.tree_leaves_with_path(mut_p["batch_stats"])
+    )
+    for path, v in flat_x:
+        np.testing.assert_allclose(
+            np.asarray(flat_p[jax.tree_util.keystr(path)]),
+            np.asarray(v),
+            atol=1e-4,
+            rtol=1e-3,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_gradient_parity():
+    m_x, m_p, variables = _models()
+    x = jnp.asarray(np.random.RandomState(3).rand(2, HW, HW, 3), jnp.float32)
+    masks = jnp.asarray(
+        (np.random.RandomState(4).rand(2, HW, HW, 1) > 0.5), jnp.float32
+    )
+
+    def loss(model):
+        def fn(params):
+            preds, _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, train=True, mutable=["batch_stats"],
+            )
+            return dice_loss(masks, preds)
+        return fn
+
+    g_x = jax.grad(loss(m_x))(variables["params"])
+    g_p = jax.grad(loss(m_p))(variables["params"])
+    flat_p = dict(
+        (jax.tree_util.keystr(p), v)
+        for p, v in jax.tree_util.tree_leaves_with_path(g_p)
+    )
+    for path, v in jax.tree_util.tree_leaves_with_path(g_x):
+        key = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(
+            np.asarray(flat_p[key]), np.asarray(v), atol=5e-4, rtol=5e-3,
+            err_msg=key,
+        )

@@ -87,8 +87,65 @@ class Conv(nn.Module):
         return conv_ops.conv2d(x, kernel, bias)
 
 
+class SepConvParams(nn.Module):
+    """Parameter-only twin of :class:`SeparableConv` for the fused path.
+
+    Declares the identical variable tree (same names/shapes/initializers)
+    and returns the raw kernels so the parent can feed the Pallas fused
+    sepconv+BN+ReLU kernel. Checkpoints are interchangeable between the
+    XLA and Pallas paths.
+    """
+
+    features: int
+    kernel_size: int = 3
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.kernel_size
+        dw = self.param(
+            "depthwise_kernel", glorot_uniform, (k, k, in_features, 1), jnp.float32
+        )
+        pw = self.param(
+            "pointwise_kernel", glorot_uniform, (1, 1, in_features, self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        return dw, pw, bias
+
+
+class BatchNormParams(nn.Module):
+    """Parameter-only twin of ``nn.BatchNorm`` (same variable tree)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
+        )
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
+        )
+        return scale, bias, mean, var
+
+
 class ConvBlock(nn.Module):
-    """[Separable]Conv -> BN -> ReLU (reference conv_block, u_net.py:5-26)."""
+    """[Separable]Conv -> BN -> ReLU (reference conv_block, u_net.py:5-26).
+
+    ``use_pallas=True`` routes the separable variant through the fused
+    Pallas kernel (:mod:`..ops.pallas.fused_sepconv`): at inference the
+    whole block (incl. folded BN) is one VMEM-resident kernel; in training
+    the fused sepconv forward is used and BN batch statistics are computed
+    explicitly with Keras-identical semantics (momentum 0.99, eps 1e-3,
+    biased variance).
+    """
 
     features: int
     kernel_size: int = 3
@@ -96,9 +153,12 @@ class ConvBlock(nn.Module):
     conv_type: str = "separable"  # 'separable' | 'full'
     dtype: Dtype = jnp.float32
     bn_axis_name: Optional[str] = None  # set for cross-replica BN stats
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if self.use_pallas and self.conv_type == "separable" and self.kernel_size == 3:
+            return self._fused_call(x, train)
         conv_cls: Callable[..., nn.Module]
         if self.conv_type == "separable":
             conv_cls, conv_name = SeparableConv, "sepconv"
@@ -123,6 +183,53 @@ class ConvBlock(nn.Module):
                 name="bn",
             )(x)
         return nn.relu(x)
+
+    def _fused_call(self, x: jax.Array, train: bool) -> jax.Array:
+        from unet_image_segmentation_tpu.ops.pallas.fused_sepconv import (
+            fused_sepconv_bn_relu,
+            sepconv_apply,
+        )
+
+        eps, momentum = 1e-3, 0.99
+        dw, pw, bias = SepConvParams(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            use_bias=not self.use_batch_norm,
+            name="sepconv",
+        )(x.shape[-1])
+        x = x.astype(self.dtype)
+        if not self.use_batch_norm:
+            y = fused_sepconv_bn_relu(x, dw, pw, bias=bias, relu=True)
+            return y
+
+        scale, offset, mean_var, var_var = BatchNormParams(
+            features=self.features, name="bn"
+        )()
+        if not train:
+            # whole block as ONE fused kernel with BN folded in
+            return fused_sepconv_bn_relu(
+                x, dw, pw, bias=None,
+                bn_scale=scale, bn_offset=offset,
+                bn_mean=mean_var.value, bn_var=var_var.value,
+                eps=eps, relu=True,
+            )
+        # training: fused sepconv forward, explicit batch statistics
+        y = sepconv_apply(x, dw, pw)
+        yf = y.astype(jnp.float32)
+        axes = (0, 1, 2)
+        batch_mean = jnp.mean(yf, axis=axes)
+        if self.bn_axis_name is not None:
+            batch_mean = jax.lax.pmean(batch_mean, self.bn_axis_name)
+        batch_sq = jnp.mean(jnp.square(yf), axis=axes)
+        if self.bn_axis_name is not None:
+            batch_sq = jax.lax.pmean(batch_sq, self.bn_axis_name)
+        batch_var = batch_sq - jnp.square(batch_mean)
+        if not self.is_initializing():
+            mean_var.value = momentum * mean_var.value + (1 - momentum) * batch_mean
+            var_var.value = momentum * var_var.value + (1 - momentum) * batch_var
+        inv = jax.lax.rsqrt(batch_var + eps) * scale
+        y = (yf - batch_mean) * inv + offset
+        return nn.relu(y).astype(self.dtype)
 
 
 class TransposeUp(nn.Module):

@@ -42,6 +42,7 @@ class UNet(nn.Module):
     conv_type: str = "separable"  # 'separable' (reference) | 'full' (configs[2])
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -61,6 +62,7 @@ class UNet(nn.Module):
                 conv_type=self.conv_type,
                 dtype=self.dtype,
                 bn_axis_name=self.bn_axis_name,
+                use_pallas=self.use_pallas,
                 name=name,
             )
 
@@ -121,6 +123,7 @@ def build_unet(cfg: ModelConfig, bn_axis_name: Optional[str] = None) -> UNet:
         conv_type=cfg.conv_type,
         dtype=jnp.dtype(cfg.compute_dtype),
         bn_axis_name=bn_axis_name,
+        use_pallas=cfg.use_pallas,
     )
 
 
