@@ -1,0 +1,134 @@
+"""Mesh / sharding / halo-exchange tests on the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from unet_image_segmentation_tpu.config import Config
+from unet_image_segmentation_tpu.models.unet import build_unet
+from unet_image_segmentation_tpu.ops.conv import conv2d
+from unet_image_segmentation_tpu.parallel.halo import (
+    halo_exchange,
+    sharded_conv3x3_rows,
+    spatial_sharded_forward,
+)
+from unet_image_segmentation_tpu.parallel.mesh import (
+    batch_sharding,
+    create_mesh,
+    pad_batch_to_devices,
+    replicated,
+    shard_batch,
+)
+from unet_image_segmentation_tpu.train.state import create_train_state
+from unet_image_segmentation_tpu.train.steps import make_train_step
+
+
+def test_create_mesh_shapes():
+    mesh = create_mesh()
+    assert mesh.shape["data"] == 8 and mesh.shape["spatial"] == 1
+    mesh2 = create_mesh(data=4, spatial=2)
+    assert mesh2.shape["data"] == 4 and mesh2.shape["spatial"] == 2
+    with pytest.raises(ValueError):
+        create_mesh(data=16, spatial=1)
+
+
+def test_shard_batch_and_padding():
+    mesh = create_mesh()
+    x = np.arange(8 * 4 * 4 * 3, dtype=np.float32).reshape(8, 4, 4, 3)
+    sharded = shard_batch({"image": x}, mesh)
+    assert sharded["image"].sharding.spec == P("data")
+    y, pad = pad_batch_to_devices(x[:5], 8)
+    assert y.shape[0] == 8 and pad == 3
+    np.testing.assert_array_equal(y[5], y[4])
+
+
+def test_halo_exchange_matches_gather(rng_np):
+    mesh = create_mesh(data=1, spatial=8)
+    from jax import shard_map
+
+    x = rng_np.rand(2, 32, 8, 4).astype(np.float32)  # 32 rows over 8 shards
+
+    fn = shard_map(
+        lambda xl: halo_exchange(xl, "spatial", 1),
+        mesh=mesh,
+        in_specs=P(None, "spatial", None, None),
+        out_specs=P(None, "spatial", None, None),
+        check_vma=False,
+    )
+    out = np.asarray(fn(jnp.asarray(x)))  # (2, 8*(4+2), 8, 4)
+    out = out.reshape(2, 8, 6, 8, 4)
+    for shard in range(8):
+        lo = shard * 4
+        np.testing.assert_array_equal(out[:, shard, 1:5], x[:, lo : lo + 4])
+        if shard > 0:
+            np.testing.assert_array_equal(out[:, shard, 0], x[:, lo - 1])
+        else:
+            assert (out[:, shard, 0] == 0).all()
+        if shard < 7:
+            np.testing.assert_array_equal(out[:, shard, 5], x[:, lo + 4])
+        else:
+            assert (out[:, shard, 5] == 0).all()
+
+
+def test_sharded_conv_matches_single_device(rng_np):
+    mesh = create_mesh(data=1, spatial=8)
+    x = rng_np.rand(2, 32, 16, 8).astype(np.float32)
+    kernel = (rng_np.randn(3, 3, 8, 8) * 0.2).astype(np.float32)
+
+    sharded = sharded_conv3x3_rows(
+        lambda p: conv2d(p, jnp.asarray(kernel)), mesh
+    )
+    got = np.asarray(sharded(jnp.asarray(x)))
+    expected = np.asarray(conv2d(jnp.asarray(x), jnp.asarray(kernel)))
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_spatial_sharded_unet_forward_matches(rng_np):
+    mesh = create_mesh(data=2, spatial=4)
+    cfg = Config().override(
+        model__image_height=64, model__image_width=64, model__filters=(8, 16),
+        model__dropout_rate=0.0,
+    )
+    model = build_unet(cfg.model)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 64, 64, 3)), train=False
+    )
+    x = rng_np.rand(4, 64, 64, 3).astype(np.float32)
+    fwd = spatial_sharded_forward(model, variables, mesh)
+    got = np.asarray(fwd(jnp.asarray(x)))
+    expected = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_dp_train_step_matches_single_device(rng_np):
+    """Gradient all-reduce over the mesh == single-device step numerics."""
+    cfg = Config().override(
+        model__image_height=32, model__image_width=32, model__filters=(8,),
+        model__dropout_rate=0.0, train__batch_size=8,
+    )
+    model = build_unet(cfg.model)
+    images = rng_np.rand(8, 32, 32, 3).astype(np.float32)
+    masks = (rng_np.rand(8, 32, 32, 1) > 0.5).astype(np.float32)
+
+    # single device
+    state1 = create_train_state(cfg)
+    step1 = make_train_step(model, donate=False)
+    new1, m1 = step1(state1, jnp.asarray(images), jnp.asarray(masks))
+
+    # 8-way DP
+    mesh = create_mesh()
+    state2 = jax.device_put(create_train_state(cfg), replicated(mesh))
+    sharding = batch_sharding(mesh)
+    step2 = make_train_step(model, donate=False)
+    new2, m2 = step2(
+        state2,
+        jax.device_put(images, sharding),
+        jax.device_put(masks, sharding),
+    )
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    l1 = jax.tree_util.tree_leaves(new1.params)
+    l2 = jax.tree_util.tree_leaves(new2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
