@@ -35,10 +35,13 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="JSON config file (overridden by explicit flags).")
     p.add_argument("--data-root", type=str, default=None)
     p.add_argument("--loss", type=str, default=None,
-                   choices=["dice", "iou", "jaccard", "bce"])
+                   choices=["dice", "iou", "jaccard", "bce", "cce"])
     p.add_argument("--image-size", type=int, default=None,
                    help="Square input resolution (256/512/1024).")
     p.add_argument("--num-classes", type=int, default=None)
+    p.add_argument("--mask-mode", type=str, default=None,
+                   choices=["binary", "class_id"],
+                   help="class_id = integer label masks (multi-class).")
     p.add_argument("--conv-type", type=str, default=None,
                    choices=["separable", "full"])
     p.add_argument("--bf16", action="store_true",
@@ -76,6 +79,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         overrides["model__image_width"] = args.image_size
     if args.num_classes is not None:
         overrides["model__num_classes"] = args.num_classes
+    if args.mask_mode is not None:
+        overrides["data__mask_mode"] = args.mask_mode
     if args.conv_type is not None:
         overrides["model__conv_type"] = args.conv_type
     if args.bf16:

@@ -66,6 +66,9 @@ class DataConfig:
     # (``train.py:187-206``).
     horizontal_flip: bool = True
     rescale: float = 1.0 / 255.0
+    # 'binary' = /255 float masks (reference); 'class_id' = integer labels
+    # for the multi-class configs (BASELINE configs[3]).
+    mask_mode: str = "binary"
     shuffle_train: bool = True
     shuffle_val: bool = False
     num_workers: int = 8

@@ -65,8 +65,14 @@ def load_image_rgb(path: str, size: Tuple[int, int]) -> np.ndarray:
     return img.astype(np.float32) / 255.0
 
 
-def load_mask_gray(path: str, size: Tuple[int, int]) -> np.ndarray:
-    """Decode grayscale float32 [0,1], nearest resize, shape (H, W, 1)."""
+def load_mask_gray(
+    path: str, size: Tuple[int, int], mask_mode: str = "binary"
+) -> np.ndarray:
+    """Decode grayscale mask, nearest resize, shape (H, W, 1).
+
+    mask_mode 'binary' rescales by 1/255 to [0,1] (reference semantics);
+    'class_id' keeps raw integer class labels (multi-class configs).
+    """
     cv2 = _cv2()
     m = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
     if m is None:
@@ -74,7 +80,10 @@ def load_mask_gray(path: str, size: Tuple[int, int]) -> np.ndarray:
     h, w = size
     if m.shape[:2] != (h, w):
         m = cv2.resize(m, (w, h), interpolation=cv2.INTER_NEAREST)
-    return (m.astype(np.float32) / 255.0)[..., None]
+    m = m.astype(np.float32)
+    if mask_mode == "binary":
+        m = m / 255.0
+    return m[..., None]
 
 
 @dataclass
@@ -87,6 +96,7 @@ class DirectoryDataset:
     horizontal_flip: bool = False
     shuffle: bool = True
     seed: int = 2301
+    mask_mode: str = "binary"  # 'binary' | 'class_id'
 
     def __post_init__(self) -> None:
         self.frame_files = list_images(self.frames_dir)
@@ -106,7 +116,7 @@ class DirectoryDataset:
         self, idx: int, flip: bool = False
     ) -> Tuple[np.ndarray, np.ndarray]:
         img = load_image_rgb(self.frame_files[idx], self.image_size)
-        mask = load_mask_gray(self.mask_files[idx], self.image_size)
+        mask = load_mask_gray(self.mask_files[idx], self.image_size, self.mask_mode)
         if flip:
             img = img[:, ::-1].copy()
             mask = mask[:, ::-1].copy()
@@ -209,6 +219,7 @@ def make_loaders(cfg) -> Tuple[DirectoryDataset, DirectoryDataset]:
         horizontal_flip=d.horizontal_flip,
         shuffle=d.shuffle_train,
         seed=cfg.train.seed,
+        mask_mode=d.mask_mode,
     )
     val = DirectoryDataset(
         frames_dir=os.path.join(d.root, d.val_frames),
@@ -217,5 +228,6 @@ def make_loaders(cfg) -> Tuple[DirectoryDataset, DirectoryDataset]:
         horizontal_flip=False,
         shuffle=d.shuffle_val,
         seed=cfg.train.seed,
+        mask_mode=d.mask_mode,
     )
     return train, val

@@ -76,6 +76,44 @@ def write_synthetic_dataset(
     return root
 
 
+def write_synthetic_multiclass_dataset(
+    root: str,
+    n_train: int = 16,
+    n_val: int = 4,
+    image_size: Tuple[int, int] = (64, 64),
+    num_classes: int = 3,
+    seed: int = 230,
+) -> str:
+    """Multi-class variant (BASELINE configs[3]): class-id masks.
+
+    Class 0 = background, 1 = document quad, 2 = a circular 'seal'
+    (and further ellipses for num_classes > 3). Masks store raw class ids.
+    """
+    import cv2
+
+    rng = np.random.RandomState(seed)
+    h, w = image_size
+    for split, n in {"train": n_train, "val": n_val}.items():
+        fdir = os.path.join(root, f"{split}_frames", "image")
+        mdir = os.path.join(root, f"{split}_masks", "image")
+        os.makedirs(fdir, exist_ok=True)
+        os.makedirs(mdir, exist_ok=True)
+        for i in range(n):
+            img, mask255, quad = render_sample(rng, h, w)
+            mask = (mask255 > 0).astype(np.uint8)  # class 1
+            center = quad.mean(axis=0)
+            for cls in range(2, num_classes):
+                r = max(2, int(0.08 * min(h, w)))
+                cx = int(center[0] + rng.randint(-r, r + 1))
+                cy = int(center[1] + rng.randint(-r, r + 1))
+                color = rng.randint(0, 120, 3).tolist()
+                cv2.circle(img, (cx, cy), r, color, -1)
+                cv2.circle(mask, (cx, cy), r, int(cls), -1)
+            cv2.imwrite(os.path.join(fdir, f"image{i:04d}.png"), img[..., ::-1])
+            cv2.imwrite(os.path.join(mdir, f"image{i:04d}.png"), mask)
+    return root
+
+
 def synthetic_batch(
     rng: np.random.RandomState,
     batch_size: int,

@@ -141,10 +141,29 @@ def run_inference(
 
     batch = preprocess_image(original_bgr, predictor.image_size, channel_order)
     prob = predictor.predict(batch)[0]
-    binary_mask = postprocess_mask(prob, orig_hw, threshold)
+    if predictor.num_classes > 1:
+        # softmax head: upsample per-class probabilities, argmax to a class
+        # map; the saved mask holds raw class ids and the crop uses the
+        # foreground (class > 0) region.
+        oh, ow = orig_hw
+        prob_up = np.stack(
+            [
+                np.asarray(
+                    cv2.resize(prob[..., c], (ow, oh), interpolation=cv2.INTER_LINEAR)
+                )
+                for c in range(prob.shape[-1])
+            ],
+            axis=-1,
+        )
+        class_map = np.argmax(prob_up, axis=-1).astype(np.uint8)
+        binary_mask = ((class_map > 0).astype(np.uint8)) * 255
+        mask_to_save = class_map
+    else:
+        binary_mask = postprocess_mask(prob, orig_hw, threshold)
+        mask_to_save = binary_mask
 
     os.makedirs(os.path.dirname(os.path.abspath(output_mask)), exist_ok=True)
-    cv2.imwrite(output_mask, binary_mask)
+    cv2.imwrite(output_mask, mask_to_save)
     if verbose:
         print(f"Saved binary mask -> {output_mask}")
 
@@ -153,6 +172,7 @@ def run_inference(
         "cropped_path": None,
         "bbox": None,
         "mask_area_frac": float((binary_mask > 0).mean()),
+        "num_classes": predictor.num_classes,
     }
 
     cropped = None

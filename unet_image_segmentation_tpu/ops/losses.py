@@ -48,11 +48,27 @@ def bce_loss(y_true: jax.Array, y_pred: jax.Array, eps: float = SMOOTH) -> jax.A
     return jnp.mean(ce)
 
 
+def categorical_ce_loss(
+    y_true: jax.Array, y_pred: jax.Array, eps: float = SMOOTH
+) -> jax.Array:
+    """Categorical cross-entropy on softmax probabilities.
+
+    ``y_true`` one-hot (B, H, W, C); mean over pixels (Keras
+    ``CategoricalCrossentropy`` semantics with probability clipping).
+    For the multi-class configs (BASELINE configs[3]).
+    """
+    y_true = y_true.astype(jnp.float32)
+    y_pred = jnp.clip(y_pred.astype(jnp.float32), eps, 1.0)
+    per_pixel = -jnp.sum(y_true * jnp.log(y_pred), axis=-1)
+    return jnp.mean(per_pixel)
+
+
 _LOSSES: dict[str, Callable[..., jax.Array]] = {
     "dice": dice_loss,
     "iou": iou_loss,
     "jaccard": jaccard_loss,
     "bce": bce_loss,
+    "cce": categorical_ce_loss,
 }
 
 

@@ -26,7 +26,7 @@ import numpy as np
 from unet_image_segmentation_tpu.config import Config
 from unet_image_segmentation_tpu.data.loader import DirectoryDataset, Prefetcher, make_loaders
 from unet_image_segmentation_tpu.models.unet import build_unet
-from unet_image_segmentation_tpu.ops.metrics import mean_iou_from_cm
+from unet_image_segmentation_tpu.ops.metrics import mean_iou_from_cm, per_class_iou_from_cm
 from unet_image_segmentation_tpu.parallel.mesh import batch_sharding, create_mesh
 from unet_image_segmentation_tpu.train import checkpoint as ckpt_lib
 from unet_image_segmentation_tpu.train.callbacks import (
@@ -74,9 +74,11 @@ class _EpochMetrics:
                 mean_iou_from_cm(jax.numpy.asarray(self.cms["cm_raw"]))
             )
         if "cm_thresh" in self.cms:
-            out[prefix + "mean_io_u_thresh"] = float(
-                mean_iou_from_cm(jax.numpy.asarray(self.cms["cm_thresh"]))
-            )
+            cm = jax.numpy.asarray(self.cms["cm_thresh"])
+            out[prefix + "mean_io_u_thresh"] = float(mean_iou_from_cm(cm))
+            if cm.shape[0] > 2:  # multi-class: per-class IoU breakdown
+                for i, v in enumerate(per_class_iou_from_cm(cm)):
+                    out[prefix + f"iou_class_{i}"] = float(v)
         if prefix + "dice" in out:
             out[prefix + "dice_coef"] = out.pop(prefix + "dice")
         return out

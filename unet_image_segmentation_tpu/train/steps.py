@@ -39,19 +39,31 @@ from unet_image_segmentation_tpu.train.state import TrainState
 Metrics = Dict[str, jax.Array]
 
 
+def _prep_masks(masks: jax.Array, num_classes: int) -> jax.Array:
+    """Loss-ready masks: binary passthrough; class-id -> one-hot (C > 1)."""
+    if num_classes <= 1:
+        return masks
+    if masks.ndim == 4 and masks.shape[-1] == num_classes:
+        return masks  # already one-hot
+    labels = masks[..., 0] if masks.ndim == 4 else masks
+    return jax.nn.one_hot(labels.astype(jnp.int32), num_classes, dtype=jnp.float32)
+
+
 def _metric_bundle(masks: jax.Array, preds: jax.Array, num_classes: int) -> Metrics:
     nc = max(num_classes, 2)
     if num_classes > 1:
-        # softmax head: argmax class map vs integer mask
+        # softmax head: argmax class map vs integer class-id mask
         pred_cls = jnp.argmax(preds, axis=-1)
         true_cls = masks[..., 0] if masks.ndim == preds.ndim else masks
         cm_raw = confusion_matrix(true_cls, pred_cls, nc)
         cm_thresh = cm_raw
+        dice = dice_coef(_prep_masks(masks, num_classes), preds)
     else:
         cm_raw = confusion_matrix(masks, preds, nc, threshold=None)
         cm_thresh = confusion_matrix(masks, preds, nc, threshold=0.5)
+        dice = dice_coef(masks, preds)
     return {
-        "dice": dice_coef(masks, preds),
+        "dice": dice,
         "cm_raw": cm_raw,
         "cm_thresh": cm_thresh,
     }
@@ -85,7 +97,7 @@ def make_train_step(
             else:
                 preds = state.apply_fn(variables, images, train=True, rngs=rngs)
                 new_stats = state.batch_stats
-            loss = loss_fn_core(masks, preds)
+            loss = loss_fn_core(_prep_masks(masks, model.num_classes), preds)
             return loss, (preds, new_stats)
 
         (loss, (preds, new_stats)), grads = jax.value_and_grad(
@@ -120,7 +132,7 @@ def make_eval_step(
         if has_bn:
             variables["batch_stats"] = state.batch_stats
         preds = state.apply_fn(variables, images, train=False)
-        loss = loss_fn_core(masks, preds)
+        loss = loss_fn_core(_prep_masks(masks, model.num_classes), preds)
         return {"loss": loss, **_metric_bundle(masks, preds, model.num_classes)}
 
     return jax.jit(eval_fn)
