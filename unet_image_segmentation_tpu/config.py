@@ -97,6 +97,10 @@ class TrainConfig:
     resume: bool = False
     # Steps between async checkpoint keep-alives; 0 = per-epoch only.
     checkpoint_every_steps: int = 0
+    # When set, capture a jax.profiler trace of the first profile_steps
+    # train steps into this directory (TensorBoard-compatible).
+    profile_dir: Optional[str] = None
+    profile_steps: int = 5
 
 
 @dataclass

@@ -1,0 +1,108 @@
+"""Batched streaming inference (BASELINE configs[4]).
+
+High-resolution (512/1024) batched mask prediction where the ENTIRE
+pipeline — uint8 frames -> normalize -> bilinear resize -> forward ->
+probability upsample back to native resolution -> optional threshold —
+is one jitted XLA program.  Only compact uint8 frames cross PCIe and only
+the final masks come back; all floating-point work stays on-chip
+(SURVEY.md §7.3 hard part 6: at target rates host resize is the
+bottleneck, so the reference's cv2 preprocess moves on-device).
+
+Scale-out: pass a mesh and frames are sharded batch-on-'data',
+rows-on-'spatial'; GSPMD inserts the conv halo exchanges over ICI
+(see :mod:`.parallel.halo`).
+
+The resize kernels match OpenCV's INTER_LINEAR half-pixel convention
+(:mod:`.ops.preprocess`), so streamed masks agree with the reference's
+host pipeline within float tolerance.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from unet_image_segmentation_tpu.inference import Predictor
+from unet_image_segmentation_tpu.ops.preprocess import resize_bilinear
+
+
+class StreamingPredictor:
+    """Fixed-shape batched uint8-in / mask-out pipeline.
+
+    Args:
+        predictor: a loaded :class:`..inference.Predictor` (its
+            ``image_size`` is the model resolution, e.g. 1024x1024).
+        frame_hw: native resolution of the incoming stream.
+        batch_size: fixed stream batch (shapes are static for jit).
+        threshold: if set, returns uint8 {0,1} masks; else probabilities.
+        mesh: optional ('data', 'spatial') mesh for multi-chip serving.
+        channel_order: 'bgr' reproduces the reference inference quirk.
+    """
+
+    def __init__(
+        self,
+        predictor: Predictor,
+        frame_hw: Tuple[int, int],
+        batch_size: int = 8,
+        threshold: Optional[float] = 0.5,
+        mesh: Optional[Mesh] = None,
+        channel_order: str = "bgr",
+    ):
+        self.predictor = predictor
+        self.frame_hw = tuple(frame_hw)
+        self.batch_size = batch_size
+        self.threshold = threshold
+        self.mesh = mesh
+        self.channel_order = channel_order
+
+        model = predictor.model
+        variables = predictor.variables
+        model_hw = predictor.image_size
+        fh, fw = self.frame_hw
+
+        def pipeline(frames_u8: jax.Array) -> jax.Array:
+            x = frames_u8.astype(jnp.float32) / 255.0
+            if channel_order == "rgb":
+                x = x[..., ::-1]  # stream delivers BGR; flip for RGB models
+            x = resize_bilinear(x, model_hw)
+            probs = model.apply(variables, x, train=False)
+            if model.num_classes > 1:
+                probs_up = resize_bilinear(probs, (fh, fw))
+                return jnp.argmax(probs_up, axis=-1).astype(jnp.uint8)
+            probs_up = resize_bilinear(probs, (fh, fw))[..., 0]  # (B, H0, W0)
+            if threshold is not None:
+                return (probs_up > threshold).astype(jnp.uint8)
+            return probs_up
+
+        if mesh is not None:
+            in_sharding = NamedSharding(mesh, P("data", "spatial", None, None))
+            self._in_sharding = in_sharding
+            self._fn = jax.jit(
+                pipeline,
+                in_shardings=(in_sharding,),
+                out_shardings=NamedSharding(mesh, P("data", "spatial")),
+            )
+        else:
+            self._in_sharding = None
+            self._fn = jax.jit(pipeline)
+
+    def __call__(self, frames_u8: np.ndarray) -> np.ndarray:
+        """(B, H0, W0, 3) uint8 BGR frames -> masks at native resolution.
+
+        Returns uint8 {0,1} masks (binary, thresholded), uint8 class maps
+        (multi-class), or float32 probabilities (threshold=None).
+        """
+        b, h, w, c = frames_u8.shape
+        if (h, w) != self.frame_hw or b != self.batch_size:
+            raise ValueError(
+                f"stream shape {(b, h, w)} != configured "
+                f"({self.batch_size}, *{self.frame_hw})"
+            )
+        x = jnp.asarray(frames_u8)
+        if self._in_sharding is not None:
+            x = jax.device_put(x, self._in_sharding)
+        return np.asarray(self._fn(x))

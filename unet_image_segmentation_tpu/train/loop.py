@@ -38,6 +38,14 @@ from unet_image_segmentation_tpu.train.callbacks import (
 )
 from unet_image_segmentation_tpu.train.state import TrainState, create_train_state
 from unet_image_segmentation_tpu.train.steps import make_eval_step, make_train_step
+from unet_image_segmentation_tpu.utils.profiling import StepTimer, trace
+
+
+import contextlib
+
+
+def _null_ctx():
+    return contextlib.nullcontext()
 
 
 @dataclass
@@ -186,11 +194,32 @@ def fit(
             ),
             depth=cfg.data.prefetch,
         )
-        for images, masks in batches:
-            images, masks = put((images, masks))
-            state, metrics = train_step(state, images, masks)
-            acc.update(metrics)
+        timer = StepTimer(sync_every=8)
+        timer.start()
+        profiling = (
+            tcfg.profile_dir is not None and epoch == start_epoch
+        )
+        profile_ctx = (
+            trace(tcfg.profile_dir) if profiling else _null_ctx()
+        )
+        step_in_epoch = 0
+        with profile_ctx:
+            for images, masks in batches:
+                images, masks = put((images, masks))
+                state, metrics = train_step(state, images, masks)
+                acc.update(metrics)  # device_get = hard sync per step
+                timer.lap()
+                step_in_epoch += 1
+                if profiling and step_in_epoch >= tcfg.profile_steps:
+                    break
+        if profiling:  # finish the epoch outside the trace
+            for images, masks in batches:
+                images, masks = put((images, masks))
+                state, metrics = train_step(state, images, masks)
+                acc.update(metrics)
+                timer.lap()
         logs = acc.result()
+        logs.update({f"step_{k}": v for k, v in timer.summary().items()})
 
         vacc = _EpochMetrics()
         vbatches = Prefetcher(
