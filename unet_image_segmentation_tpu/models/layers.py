@@ -34,7 +34,13 @@ glorot_uniform = nn.initializers.variance_scaling(1.0, "fan_avg", "uniform")
 
 
 class SeparableConv(nn.Module):
-    """Depthwise(k x k) + pointwise(1x1) conv, Keras SeparableConv2D parity."""
+    """Depthwise(k x k) + pointwise(1x1) conv, Keras SeparableConv2D parity.
+
+    When a second input ``x2`` is given, computes the conv over the channel
+    concatenation ``[x, x2]`` *without materializing it* (see
+    :func:`..ops.conv.separable_conv2d_pair`); the parameter tree is
+    identical to the concat formulation.
+    """
 
     features: int
     kernel_size: int = 3
@@ -42,8 +48,8 @@ class SeparableConv(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        c = x.shape[-1]
+    def __call__(self, x: jax.Array, x2: Optional[jax.Array] = None) -> jax.Array:
+        c = x.shape[-1] + (x2.shape[-1] if x2 is not None else 0)
         k = self.kernel_size
         depthwise = self.param(
             "depthwise_kernel", glorot_uniform, (k, k, c, 1), jnp.float32
@@ -56,6 +62,11 @@ class SeparableConv(nn.Module):
             if self.use_bias
             else None
         )
+        if x2 is not None:
+            return conv_ops.separable_conv2d_pair(
+                x.astype(self.dtype), x2.astype(self.dtype),
+                depthwise, pointwise, bias,
+            )
         return conv_ops.separable_conv2d(
             x.astype(self.dtype), depthwise, pointwise, bias
         )
@@ -156,8 +167,15 @@ class ConvBlock(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        train: bool = False,
+        x2: Optional[jax.Array] = None,
+    ) -> jax.Array:
         if self.use_pallas and self.conv_type == "separable" and self.kernel_size == 3:
+            if x2 is not None:
+                x = jnp.concatenate([x, x2], axis=-1)
             return self._fused_call(x, train)
         conv_cls: Callable[..., nn.Module]
         if self.conv_type == "separable":
@@ -166,13 +184,16 @@ class ConvBlock(nn.Module):
             conv_cls, conv_name = Conv, "conv"
         else:
             raise ValueError(f"conv_type must be 'separable'|'full', got {self.conv_type!r}")
-        x = conv_cls(
+        if x2 is not None and self.conv_type != "separable":
+            x, x2 = jnp.concatenate([x, x2], axis=-1), None
+        conv = conv_cls(
             features=self.features,
             kernel_size=self.kernel_size,
             use_bias=not self.use_batch_norm,
             dtype=self.dtype,
             name=conv_name,
-        )(x)
+        )
+        x = conv(x, x2) if x2 is not None else conv(x)
         if self.use_batch_norm:
             x = nn.BatchNorm(
                 use_running_average=not train,
