@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import json
 import os
+import signal
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional
@@ -105,7 +107,22 @@ def fit(
     if train_ds is None or val_ds is None:
         train_ds, val_ds = make_loaders(cfg)
     if mesh is None:
-        mesh = create_mesh()
+        # largest DP degree that divides the batch (the reference default
+        # batch is 2; users shouldn't have to size the mesh by hand)
+        import jax as _jax
+
+        n_dev = _jax.device_count()
+        dp = 1
+        for d in range(min(n_dev, tcfg.batch_size), 0, -1):
+            if tcfg.batch_size % d == 0:
+                dp = d
+                break
+        mesh = create_mesh(data=dp, devices=_jax.devices()[:dp])
+        if dp < n_dev and verbose:
+            print(
+                f"Note: batch {tcfg.batch_size} uses {dp}/{n_dev} devices "
+                f"(data-parallel degree must divide the batch)."
+            )
     model = build_unet(cfg.model)
     if state is None:
         state = create_train_state(cfg)
@@ -181,6 +198,26 @@ def fit(
             f"batch_size {tcfg.batch_size} not divisible by data-parallel "
             f"degree {n_data}"
         )
+
+    # Preemption safety (SURVEY §5 failure detection): on SIGTERM/SIGINT a
+    # flag is set and training stops at the next epoch boundary with the
+    # rolling 'last' checkpoint + meta already on disk, so --resume
+    # continues cleanly. Handlers only attach on the main thread.
+    stop_requested = {"flag": False}
+    old_handlers = {}
+    if threading.current_thread() is threading.main_thread():
+        def _request_stop(signum, frame):
+            print(f"\nSignal {signum} received: finishing epoch, "
+                  f"checkpointing to {tcfg.model_out}/last, then stopping.")
+            stop_requested["flag"] = True
+        for sig in (signal.SIGTERM,):
+            old_handlers[sig] = signal.signal(sig, _request_stop)
+
+    # effective config dump for reproducibility
+    out_dir_early = os.path.abspath(tcfg.model_out)
+    os.makedirs(out_dir_early, exist_ok=True)
+    with open(os.path.join(out_dir_early, "config.json"), "w") as f:
+        f.write(cfg.to_json(indent=2))
 
     for epoch in range(start_epoch, tcfg.epochs):
         t0 = time.perf_counter()
@@ -271,7 +308,12 @@ def fit(
         if cb_list.should_stop:
             result.stopped_epoch = epoch
             break
+        if stop_requested["flag"]:
+            result.stopped_epoch = epoch
+            break
 
+    for sig, handler in old_handlers.items():
+        signal.signal(sig, handler)
     for cb in cb_list.callbacks:
         if isinstance(cb, BestCheckpoint):
             result.best_score = cb.best
