@@ -1,0 +1,72 @@
+"""Config system + shipped preset tests."""
+
+import glob
+import os
+
+import pytest
+
+from unet_image_segmentation_tpu.config import Config
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_defaults_mirror_reference():
+    cfg = Config()
+    assert cfg.model.input_shape == (256, 256, 3)
+    assert cfg.model.num_classes == 1
+    assert cfg.model.filters == (64, 128, 256, 512)
+    assert cfg.train.epochs == 30
+    assert cfg.train.batch_size == 2
+    assert cfg.train.learning_rate == 2e-3
+    assert cfg.train.weight_decay == 1e-4
+    assert cfg.train.seed == 2301
+    assert cfg.train.monitor == "val_mean_io_u"
+    assert cfg.train.early_stop_patience == 10
+    assert cfg.train.reduce_lr_factor == 0.2
+    assert cfg.train.reduce_lr_patience == 3
+    assert cfg.train.min_lr == 1e-6
+    assert cfg.infer.threshold == 0.5
+    assert cfg.infer.min_contour_area == 100.0
+    assert cfg.eval.iou_threshold == 0.9
+    assert cfg.eval.pred_threshold == 0.5
+
+
+def test_json_roundtrip_and_override():
+    cfg = Config().override(train__batch_size=32, model__num_classes=3)
+    cfg2 = Config.from_json(cfg.to_json())
+    assert cfg2.train.batch_size == 32
+    assert cfg2.model.num_classes == 3
+    assert cfg2.model.filters == (64, 128, 256, 512)
+    with pytest.raises(KeyError):
+        cfg.override(train__nope=1)
+    with pytest.raises(KeyError):
+        cfg.override(badsection__x=1)
+
+
+def test_shipped_presets_load():
+    presets = sorted(glob.glob(os.path.join(REPO, "configs", "*.json")))
+    assert len(presets) >= 5
+    names = {os.path.basename(p) for p in presets}
+    assert {"binary_256.json", "fullconv_bce_256.json", "multiclass_512.json",
+            "highres_1024.json", "tpu_train_256_bf16.json"} <= names
+    for path in presets:
+        cfg = Config.from_json(open(path).read())
+        h, w = cfg.model.image_height, cfg.model.image_width
+        assert h % 16 == 0 and w % 16 == 0, path  # U-Net depth constraint
+
+    mc = Config.from_json(open(os.path.join(REPO, "configs", "multiclass_512.json")).read())
+    assert mc.model.num_classes == 3
+    assert mc.data.mask_mode == "class_id"
+    assert mc.train.loss == "cce"
+
+
+def test_cli_config_file_plus_flag_override(tmp_path):
+    from unet_image_segmentation_tpu.cli.train import config_from_args, parse_args
+
+    path = str(tmp_path / "c.json")
+    with open(path, "w") as f:
+        f.write(Config().override(train__epochs=7).to_json())
+    args = parse_args(["--config", path, "--batch-size", "16"])
+    cfg = config_from_args(args)
+    assert cfg.train.epochs == 7        # from file
+    assert cfg.train.batch_size == 16   # flag wins

@@ -101,6 +101,10 @@ class TrainConfig:
     # train steps into this directory (TensorBoard-compatible).
     profile_dir: Optional[str] = None
     profile_steps: int = 5
+    # JAX PRNG implementation for dropout masks (None = jax default
+    # threefry2x32; 'rbg' is measurably faster on TPU with different —
+    # still valid — random streams). Applied globally by fit() when set.
+    rng_impl: Optional[str] = None
 
 
 @dataclass

@@ -104,6 +104,8 @@ def fit(
     verbose: bool = True,
 ) -> FitResult:
     tcfg = cfg.train
+    if tcfg.rng_impl:
+        jax.config.update("jax_default_prng_impl", tcfg.rng_impl)
     if train_ds is None or val_ds is None:
         train_ds, val_ds = make_loaders(cfg)
     if mesh is None:
