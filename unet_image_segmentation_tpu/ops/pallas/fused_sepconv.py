@@ -27,10 +27,18 @@ C-lane shift with the wrapped element taken from the neighbouring packed
 column, and the pointwise matmul uses the block-diagonal ``kron(I_p, pw)``
 — 1/p nonzero, but the MXU is nowhere near the bottleneck here.
 
-Backward: ``jax.custom_vjp`` delegating to the composed XLA ops, so
-training picks up the fused forward with gradients identical to the
-reference formulation.  Blocks that fit no packing (e.g. the 3-channel
-input block) fall back to XLA entirely.
+Backward: the affine/ReLU form delegates to composed XLA ops via
+``jax.custom_vjp``; the plain form (:func:`sepconv_apply`, the training
+path) runs the fused Pallas backward in :mod:`.fused_sepconv_bwd`
+(dx + ddw + dpw + dbias in one pass per tile, input-only residuals).
+Blocks that fit no packing (e.g. the 3-channel input block) fall back to
+XLA entirely.
+
+Measured status (v5e, 256px, b32, bf16): fwd+bwd 137.6 ms/step vs XLA's
+120.6 — correct but not yet faster; the kernels are single-buffered
+(DMA serializes with compute) while XLA pipelines its fusion schedule.
+Kept off by default (``ModelConfig.use_pallas``); double-buffered DMA and
+whole-stage fusion are the follow-ups that change the balance.
 """
 
 from __future__ import annotations
@@ -312,13 +320,66 @@ def fused_sepconv_bn_relu(
     return _sepconv_core(x, dwk, pww, scale, shift, relu)
 
 
+@jax.custom_vjp
+def _sepconv_plain(x, dwk, pww, bias):
+    f = pww.shape[1]
+    scale = jnp.ones((f,), jnp.float32)
+    shift = bias.astype(jnp.float32)
+    return _fused_sepconv_fwd_impl(
+        x, dwk, pww, scale, shift, relu=False, interpret=_use_interpret()
+    )
+
+
+def _plain_fwd(x, dwk, pww, bias):
+    return _sepconv_plain(x, dwk, pww, bias), (x, dwk, pww, bias)
+
+
+def _plain_bwd(residuals, g):
+    from unet_image_segmentation_tpu.ops.pallas.fused_sepconv_bwd import (
+        sepconv_bwd_pallas,
+    )
+
+    x, dwk, pww, bias = residuals
+    grads = sepconv_bwd_pallas(
+        x, g.astype(x.dtype), dwk, pww, interpret=_use_interpret()
+    )
+    if grads is None:  # no lane packing fits: composed-XLA backward
+        f = pww.shape[1]
+
+        def ref(x, dwk, pww, bias):
+            scale = jnp.ones((f,), jnp.float32)
+            return _xla_reference(x, dwk, pww, scale, bias.astype(jnp.float32), False)
+
+        _, vjp = jax.vjp(ref, x, dwk, pww, bias)
+        return vjp(g)
+    dx, ddw, dpw, dbias = grads
+    return (
+        dx.astype(x.dtype),
+        ddw.astype(dwk.dtype),
+        dpw.astype(pww.dtype),
+        dbias.astype(bias.dtype),
+    )
+
+
+_sepconv_plain.defvjp(_plain_fwd, _plain_bwd)
+
+
 def sepconv_apply(
     x: jax.Array,
     depthwise_kernel: jax.Array,
     pointwise_kernel: jax.Array,
     bias: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Plain separable conv through the fused kernel (no BN, no ReLU)."""
-    return fused_sepconv_bn_relu(
-        x, depthwise_kernel, pointwise_kernel, bias=bias, relu=False
-    )
+    """Plain separable conv through the fused kernels (no BN, no ReLU).
+
+    Forward AND backward run as Pallas kernels (custom VJP with flash-style
+    input-only residuals; see :mod:`.fused_sepconv_bwd`); a zero bias is
+    substituted when none is given (its gradient is discarded by autodiff).
+    """
+    c = x.shape[-1]
+    f = pointwise_kernel.shape[-1]
+    dwk = depthwise_kernel.reshape(3, 3, c).astype(x.dtype)
+    pww = pointwise_kernel.reshape(c, f).astype(x.dtype)
+    if bias is None:
+        bias = jnp.zeros((f,), jnp.float32)
+    return _sepconv_plain(x, dwk, pww, bias)
