@@ -31,9 +31,16 @@ tf = pytest.importorskip("tensorflow")
 pytest.importorskip("cv2")
 
 REFERENCE = "/root/reference"
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REFERENCE), reason="reference checkout unavailable"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.isdir(REFERENCE), reason="reference checkout unavailable"
+    ),
+    # ~6 min of TF-CPU training; opt in with RUN_SLOW=1 (default suite
+    # keeps the fast parity anchors: test_tf_parity, test_e2e_reference_parity)
+    pytest.mark.skipif(
+        not os.environ.get("RUN_SLOW"), reason="set RUN_SLOW=1 to run"
+    ),
+]
 
 HW = 32
 EPOCHS = 16
