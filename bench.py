@@ -45,6 +45,7 @@ def measure_ours(batch_size: int = 32, compute_dtype: str = "bfloat16") -> dict:
         model__image_height=HW,
         model__image_width=HW,
         model__compute_dtype=compute_dtype,
+        model__use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1",
         train__batch_size=batch_size,
     )
     model = build_unet(cfg.model)

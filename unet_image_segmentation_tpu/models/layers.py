@@ -234,15 +234,19 @@ class ConvBlock(nn.Module):
                 bn_mean=mean_var.value, bn_var=var_var.value,
                 eps=eps, relu=True,
             )
-        # training: fused sepconv forward, explicit batch statistics
-        y = sepconv_apply(x, dw, pw)
+        # training: fused sepconv forward emitting BN batch moments in the
+        # same kernel pass (no separate statistics read of the activations)
+        from unet_image_segmentation_tpu.ops.pallas.fused_sepconv import (
+            sepconv_apply_stats,
+        )
+
+        y, stat_sum, stat_sq = sepconv_apply_stats(x, dw, pw)
         yf = y.astype(jnp.float32)
-        axes = (0, 1, 2)
-        batch_mean = jnp.mean(yf, axis=axes)
+        n = y.shape[0] * y.shape[1] * y.shape[2]
+        batch_mean = stat_sum / n
+        batch_sq = stat_sq / n
         if self.bn_axis_name is not None:
             batch_mean = jax.lax.pmean(batch_mean, self.bn_axis_name)
-        batch_sq = jnp.mean(jnp.square(yf), axis=axes)
-        if self.bn_axis_name is not None:
             batch_sq = jax.lax.pmean(batch_sq, self.bn_axis_name)
         batch_var = batch_sq - jnp.square(batch_mean)
         if not self.is_initializing():
