@@ -112,3 +112,37 @@ def test_distributed_single_host_noop():
     info = process_info()
     assert info["process_count"] == 1
     assert info["global_device_count"] == 8
+
+
+def test_tb_writer_events_readable():
+    """Pure-Python event writer output parses with TF's reader (gated)."""
+    tf = pytest.importorskip("tensorflow")
+    import tempfile
+
+    from unet_image_segmentation_tpu.utils.tb_writer import SummaryWriter
+
+    d = tempfile.mkdtemp()
+    w = SummaryWriter(d)
+    w.scalar("loss", 0.25, step=1)
+    w.scalar("loss", 0.125, step=2)
+    w.histogram("weights", np.arange(100, dtype=np.float32), step=1)
+    w.close()
+
+    records = list(tf.data.TFRecordDataset(w.path))
+    assert len(records) == 4  # file_version + 2 scalars + 1 histogram
+
+    from tensorflow.core.util import event_pb2
+
+    scalars = {}
+    histos = 0
+    for r in records:
+        ev = event_pb2.Event.FromString(r.numpy())
+        for v in ev.summary.value:
+            if v.HasField("simple_value"):
+                scalars[(v.tag, ev.step)] = v.simple_value
+            if v.HasField("histo"):
+                histos += 1
+                assert v.histo.num == 100
+    assert scalars[("loss", 1)] == pytest.approx(0.25)
+    assert scalars[("loss", 2)] == pytest.approx(0.125)
+    assert histos == 1

@@ -35,6 +35,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--image-glob", type=str, default="*.tif")
     p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--pallas", action="store_true",
+                   help="Fused Pallas serving kernels (TPU).")
+    p.add_argument("--bf16", action="store_true")
     return p.parse_args(argv)
 
 
@@ -62,7 +65,10 @@ def main(argv=None) -> int:
 
     print(f"Loading model: {args.model} ...")
     predictor = Predictor(
-        args.model, image_size=(args.image_size, args.image_size)
+        args.model,
+        image_size=(args.image_size, args.image_size),
+        compute_dtype="bfloat16" if args.bf16 else "float32",
+        use_pallas=args.pallas,
     )
     try:
         result = evaluate(

@@ -9,7 +9,7 @@ tests and benchmarking without the FTP download.
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

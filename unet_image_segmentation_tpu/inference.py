@@ -48,6 +48,7 @@ class Predictor:
         image_size: Tuple[int, int] = (256, 256),
         model_kwargs: Optional[Dict[str, Any]] = None,
         compute_dtype: str = "float32",
+        use_pallas: bool = False,
     ):
         variables, inferred = load_inference_variables(model_path)
         kwargs = dict(inferred or {})
@@ -58,7 +59,11 @@ class Predictor:
             for k, v in kwargs.items()
             if k in ("num_classes", "filters", "dropout_rate", "use_batch_norm", "conv_type")
         }
-        self.model = UNet(dtype=jnp.dtype(compute_dtype), **kwargs)
+        # use_pallas: fused sepconv+BN+ReLU serving kernels (+12% measured
+        # on v5e at 256px); variable trees are identical either way.
+        self.model = UNet(
+            dtype=jnp.dtype(compute_dtype), use_pallas=use_pallas, **kwargs
+        )
         self.variables = {"params": variables["params"]}
         if "batch_stats" in variables:
             self.variables["batch_stats"] = variables["batch_stats"]

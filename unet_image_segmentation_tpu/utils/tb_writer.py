@@ -120,7 +120,7 @@ def _summary_value_scalar(tag: str, value: float) -> bytes:
 
 
 def _summary_value_histo(tag: str, values: np.ndarray) -> bytes:
-    inner = _pb_string(1, tag) + _pb_bytes(4, _histogram_proto(values))
+    inner = _pb_string(1, tag) + _pb_bytes(5, _histogram_proto(values))  # Value.histo = field 5
     return _pb_bytes(1, inner)
 
 
