@@ -40,6 +40,11 @@ def parse_args(argv=None) -> argparse.Namespace:
                     help="Apply tf.lite.Optimize.DEFAULT.")
     tp.add_argument("--float16", action="store_true",
                     help="Store weights as float16.")
+    tp.add_argument("--int8", action="store_true",
+                    help="Full integer quantization (random representative "
+                         "data unless --rep-images points at a directory).")
+    tp.add_argument("--rep-images", type=str, default=None,
+                    help="Directory of images for int8 calibration.")
     return p.parse_args(argv)
 
 
@@ -86,10 +91,23 @@ def main(argv=None) -> int:
         print("Error: TensorFlow unavailable; 'tflite' export needs it. "
               "Use 'stablehlo' for the TF-free artifact.")
         return 1
+    rep = None
+    if getattr(args, "rep_images", None):
+        import cv2
+        import numpy as np
+
+        from unet_image_segmentation_tpu.data.loader import list_images
+
+        rep = []
+        for path in list_images(args.rep_images)[:16]:
+            img = cv2.imread(path, cv2.IMREAD_COLOR)
+            img = cv2.resize(img, size[::-1]).astype(np.float32) / 255.0
+            rep.append(img)
     out = convert_to_tflite(
         model, variables, args.output,
         batch_size=args.batch_size, image_size=size,
-        optimize=args.optimize, float16=args.float16, labels=labels,
+        optimize=args.optimize, float16=args.float16,
+        int8=args.int8, representative_images=rep, labels=labels,
     )
     size_kb = os.path.getsize(out) / 1024
     print(f"TFLite model written: {out} ({size_kb:.0f} KiB)")

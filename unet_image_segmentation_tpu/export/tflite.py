@@ -38,13 +38,20 @@ def convert_to_tflite(
     channels: int = 3,
     optimize: bool = False,
     float16: bool = False,
+    int8: bool = False,
+    representative_images=None,
     labels: Optional[Sequence[str]] = None,
 ) -> str:
     """Convert the forward pass to a .tflite flatbuffer.
 
     ``optimize`` maps to ``tf.lite.Optimize.DEFAULT`` and ``float16`` to
     fp16 weight storage, mirroring the reference flags
-    (``convert_to_tflite.py:128-140``).
+    (``convert_to_tflite.py:128-140``).  ``int8`` performs full integer
+    quantization with a representative dataset — the capability the
+    reference left as a commented-out scaffold
+    (``convert_to_tflite.py:142-153``); ``representative_images`` is an
+    iterable of (H, W, C) float32 [0,1] arrays (a handful of training
+    frames), defaulting to random frames when omitted.
     """
     if not tf_available():
         raise RuntimeError(
@@ -78,6 +85,27 @@ def convert_to_tflite(
     if float16:
         converter.optimizations = [tf.lite.Optimize.DEFAULT]
         converter.target_spec.supported_types = [tf.float16]
+    if int8:
+        import numpy as np
+
+        converter.optimizations = [tf.lite.Optimize.DEFAULT]
+
+        def rep_gen():
+            if representative_images is not None:
+                for img in representative_images:
+                    yield [img[None].astype("float32")]
+            else:
+                rng = np.random.RandomState(0)
+                for _ in range(8):
+                    yield [rng.rand(1, h, w, channels).astype("float32")]
+
+        converter.representative_dataset = rep_gen
+        # keep float I/O (the pipeline feeds [0,1] floats); weights+math int8
+        converter.target_spec.supported_ops = [
+            tf.lite.OpsSet.TFLITE_BUILTINS_INT8,
+            tf.lite.OpsSet.TFLITE_BUILTINS,
+            tf.lite.OpsSet.SELECT_TF_OPS,
+        ]
     blob = converter.convert()
     out_dir = os.path.dirname(os.path.abspath(output_path))
     os.makedirs(out_dir, exist_ok=True)
