@@ -828,3 +828,252 @@ def sepconv_apply_stats(
     dwk = depthwise_kernel.reshape(3, 3, c).astype(x.dtype)
     pww = pointwise_kernel.reshape(c, f).astype(x.dtype)
     return _sepconv_stats(x, dwk, pww)
+
+
+# ---------------------------------------------------------------------------
+# Inference-only: fused ConvBlock PAIR (block1 -> block2 in one pass).
+# ---------------------------------------------------------------------------
+
+
+def _sepconv_pair_kernel_db(
+    x_hbm,        # (B, H, Wp, pC) ANY
+    dwk1_ref,     # (3, 3, pC)
+    pww1_ref,     # (pC, pF1)
+    aff1_ref,     # (2, pF1): row0 scale, row1 shift
+    dwk2_ref,     # (3, 3, pF1)
+    pww2_ref,     # (pF1, pF2)
+    aff2_ref,     # (2, pF2)
+    out_hbm,      # (B, H, Wp, pF2) ANY
+    xbuf,         # scratch (2, TH+4, Wp, pC)
+    ybuf,         # scratch (2, TH, Wp, pF2)
+    in_sems,      # (2, 3)
+    out_sems,     # (2,)
+    *,
+    tile_h: int,
+    n_tiles: int,
+    c: int,
+    f1: int,
+):
+    """Two chained sepconv+BN+ReLU blocks per tile; the intermediate
+    activation never leaves VMEM (one fewer full HBM round trip per
+    encoder/bottleneck stage).  Input slabs carry 2-row halos (the chained
+    3x3 receptive field)."""
+    b = pl.program_id(0)
+    wp = xbuf.shape[2]
+    pc = xbuf.shape[3]
+    pf1 = pww1_ref.shape[1]
+    pf2 = pww2_ref.shape[1]
+
+    def start_in(j, slot):
+        row0 = j * tile_h
+        pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(row0, tile_h)],
+            xbuf.at[slot, pl.ds(2, tile_h)],
+            in_sems.at[slot, 0],
+        ).start()
+
+        @pl.when(j > 0)
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(row0 - 2, 2)],
+                xbuf.at[slot, pl.ds(0, 2)],
+                in_sems.at[slot, 1],
+            ).start()
+
+        @pl.when(j < n_tiles - 1)
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(row0 + tile_h, 2)],
+                xbuf.at[slot, pl.ds(tile_h + 2, 2)],
+                in_sems.at[slot, 2],
+            ).start()
+
+    def wait_in(j, slot):
+        row0 = j * tile_h
+        pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(row0, tile_h)],
+            xbuf.at[slot, pl.ds(2, tile_h)],
+            in_sems.at[slot, 0],
+        ).wait()
+
+        @pl.when(j > 0)
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(row0 - 2, 2)],
+                xbuf.at[slot, pl.ds(0, 2)],
+                in_sems.at[slot, 1],
+            ).wait()
+
+        @pl.when(j == 0)
+        def _():
+            xbuf[slot, 0, :, :] = jnp.zeros((wp, pc), xbuf.dtype)
+            xbuf[slot, 1, :, :] = jnp.zeros((wp, pc), xbuf.dtype)
+
+        @pl.when(j < n_tiles - 1)
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(row0 + tile_h, 2)],
+                xbuf.at[slot, pl.ds(tile_h + 2, 2)],
+                in_sems.at[slot, 2],
+            ).wait()
+
+        @pl.when(j == n_tiles - 1)
+        def _():
+            xbuf[slot, tile_h + 2, :, :] = jnp.zeros((wp, pc), xbuf.dtype)
+            xbuf[slot, tile_h + 3, :, :] = jnp.zeros((wp, pc), xbuf.dtype)
+
+    def out_copy(j, slot):
+        return pltpu.make_async_copy(
+            ybuf.at[slot],
+            out_hbm.at[b, pl.ds(j * tile_h, tile_h)],
+            out_sems.at[slot],
+        )
+
+    start_in(0, 0)
+
+    def body(j, _):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < n_tiles)
+        def _():
+            start_in(j + 1, jax.lax.rem(j + 1, 2))
+
+        wait_in(j, slot)
+
+        @pl.when(j >= 2)
+        def _():
+            out_copy(j - 2, slot).wait()
+
+        # block1 over TH+2 middle rows of the TH+4 slab
+        y1 = _tile_sepconv(xbuf[slot], dwk1_ref, pww1_ref, tile_h + 2, wp, pc, c)
+        y1 = y1 * aff1_ref[0][None, :] + aff1_ref[1][None, :]
+        y1 = jnp.maximum(y1, 0.0)
+        y1 = y1.reshape(tile_h + 2, wp, pf1)
+        # block2's 'same' padding at the image edges must be ZERO, not the
+        # virtual y1 values conv-extended past the image boundary.
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_h + 2, 1, 1), 0)
+        kill_top = jnp.logical_and(j == 0, row_ids == 0)
+        kill_bot = jnp.logical_and(j == n_tiles - 1, row_ids == tile_h + 1)
+        y1 = jnp.where(jnp.logical_or(kill_top, kill_bot), 0.0, y1)
+        y1 = y1.astype(xbuf.dtype)
+
+        # block2 over the TH centre rows (y1's own rows provide the halo)
+        y2 = _tile_sepconv(y1, dwk2_ref, pww2_ref, tile_h, wp, pf1, f1)
+        y2 = y2 * aff2_ref[0][None, :] + aff2_ref[1][None, :]
+        y2 = jnp.maximum(y2, 0.0)
+        ybuf[slot] = y2.reshape(tile_h, wp, pf2).astype(ybuf.dtype)
+        out_copy(j, slot).start()
+        return ()
+
+    jax.lax.fori_loop(0, n_tiles, body, (), unroll=False)
+
+    @pl.when(n_tiles >= 2)
+    def _():
+        out_copy(n_tiles - 2, jax.lax.rem(n_tiles - 2, 2)).wait()
+
+    out_copy(n_tiles - 1, jax.lax.rem(n_tiles - 1, 2)).wait()
+
+
+def _fold_affine(bias, bn_scale, bn_offset, bn_mean, bn_var, f, eps=1e-3):
+    if bn_scale is not None:
+        scale = (bn_scale * jax.lax.rsqrt(bn_var + eps)).astype(jnp.float32)
+        shift = (bn_offset - bn_mean * scale).astype(jnp.float32)
+        if bias is not None:
+            shift = shift + bias * scale
+    else:
+        scale = jnp.ones((f,), jnp.float32)
+        shift = bias.astype(jnp.float32) if bias is not None else jnp.zeros((f,), jnp.float32)
+    return scale, shift
+
+
+def fused_sepconv_pair(
+    x: jax.Array,
+    block1: dict,
+    block2: dict,
+    eps: float = 1e-3,
+) -> Optional[jax.Array]:
+    """Inference ConvBlock pair in one kernel (sepconv+BN+ReLU twice).
+
+    ``block1``/``block2``: dicts with 'depthwise_kernel', 'pointwise_kernel',
+    optional 'bias', and optional BN entries 'scale'/'offset'/'mean'/'var'.
+    Returns None when no common lane packing fits (caller falls back to two
+    single-block kernels).
+    """
+    b, h, w, c = x.shape
+    f1 = block1["pointwise_kernel"].shape[-1]
+    f2 = block2["pointwise_kernel"].shape[-1]
+    p = None
+    for cand in (1, 2, 4, 8, 16):
+        if (
+            (cand * c) % LANE == 0
+            and (cand * f1) % LANE == 0
+            and (cand * f2) % LANE == 0
+            and w % cand == 0
+        ):
+            p = cand
+            break
+    if p is None or h % 2:
+        return None
+
+    def prep(block, cin, fout):
+        dwk = block["depthwise_kernel"].reshape(3, 3, cin).astype(x.dtype)
+        pww = block["pointwise_kernel"].reshape(cin, fout).astype(x.dtype)
+        scale, shift = _fold_affine(
+            block.get("bias"), block.get("scale"), block.get("offset"),
+            block.get("mean"), block.get("var"), fout, eps,
+        )
+        if p > 1:
+            dwk = jnp.tile(dwk, (1, 1, p))
+            pww = jnp.kron(jnp.eye(p, dtype=pww.dtype), pww)
+            scale = jnp.tile(scale, p)
+            shift = jnp.tile(shift, p)
+        return dwk, pww, jnp.stack([scale, shift], axis=0)
+
+    dwk1, pww1, aff1 = prep(block1, c, f1)
+    dwk2, pww2, aff2 = prep(block2, f1, f2)
+
+    wp, pc, pf1, pf2 = w // p, p * c, p * f1, p * f2
+    xp = x.reshape(b, h, wp, pc)
+    # working set: 2 slabs (TH+4) + y1 (TH+2) fp32+bf16 + y2 buffers
+    budget, slack = 9 * 1024 * 1024, 1.4
+    tile_h = 1
+    for cand in (32, 16, 8, 4, 2):
+        if h % cand:
+            continue
+        working = (
+            2 * (cand + 4) * wp * pc * 2
+            + (cand + 2) * wp * pf1 * (4 + 2)
+            + cand * wp * pf2 * (4 + 2 * 2)
+        )
+        if working * slack <= budget:
+            tile_h = cand
+            break
+    if tile_h < 8 and h >= 16:
+        # halo overhead dominates small pair tiles (measured at 1024px:
+        # two single-block kernels win); let the caller fall back.
+        return None
+    n_tiles = h // tile_h
+    kernel = functools.partial(
+        _sepconv_pair_kernel_db, tile_h=tile_h, n_tiles=n_tiles, c=c, f1=f1
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((b, h, wp, pf2), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_h + 4, wp, pc), x.dtype),
+            pltpu.VMEM((2, tile_h, wp, pf2), x.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=b * h * w * (9 * c + 2 * c * f1 + 9 * f1 + 2 * f1 * f2),
+            bytes_accessed=b * h * w * (c + f2) * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=_use_interpret(),
+    )(xp, dwk1, pww1, aff1, dwk2, pww2, aff2)
+    return out.reshape(b, h, w, f2)
