@@ -85,11 +85,13 @@ class Predictor:
             except Exception:
                 self._predict = None
         if self._predict is None:
-            @jax.jit
-            def _predict(images: jax.Array) -> jax.Array:
+            def _forward(images: jax.Array) -> jax.Array:
                 return self.model.apply(self.variables, images, train=False)
 
-            self._predict = _predict
+            self._predict = jax.jit(_forward)
+        # the forward callable (jit-compatible) for composition into larger
+        # programs (e.g. streaming pipelines)
+        self.forward_fn = self._predict
 
     @property
     def num_classes(self) -> int:

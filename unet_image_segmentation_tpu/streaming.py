@@ -60,16 +60,18 @@ class StreamingPredictor:
         self.channel_order = channel_order
 
         model = predictor.model
-        variables = predictor.variables
         model_hw = predictor.image_size
         fh, fw = self.frame_hw
+        forward = getattr(predictor, "forward_fn", None) or (
+            lambda imgs: model.apply(predictor.variables, imgs, train=False)
+        )
 
         def pipeline(frames_u8: jax.Array) -> jax.Array:
             x = frames_u8.astype(jnp.float32) / 255.0
             if channel_order == "rgb":
                 x = x[..., ::-1]  # stream delivers BGR; flip for RGB models
             x = resize_bilinear(x, model_hw)
-            probs = model.apply(variables, x, train=False)
+            probs = forward(x)
             if model.num_classes > 1:
                 probs_up = resize_bilinear(probs, (fh, fw))
                 return jnp.argmax(probs_up, axis=-1).astype(jnp.uint8)
