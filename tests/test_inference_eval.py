@@ -195,3 +195,34 @@ def test_cli_smoke(trained, tmp_path):
     ])
     assert rc == 0
     assert os.path.exists(str(tmp_path / "cli_mask.png"))
+
+
+def test_predictor_bucketed_batch(trained):
+    # Ragged batches pad to the next power-of-two compile bucket; results
+    # must equal the unpadded forward on the same rows.
+    d, cfg = trained
+    predictor = Predictor(cfg.train.model_out, image_size=(HW, HW))
+    rng = np.random.RandomState(3)
+    imgs = rng.rand(3, HW, HW, 3).astype(np.float32)
+    out3 = predictor.predict(imgs)
+    assert out3.shape[0] == 3
+    out4 = predictor.predict(np.concatenate([imgs, imgs[:1]], axis=0))
+    np.testing.assert_allclose(out3, out4[:3], rtol=0, atol=1e-6)
+
+
+def test_predictor_pallas_fallback_warns(trained, monkeypatch):
+    # A failing fused serving graph must degrade LOUDLY, not silently.
+    d, cfg = trained
+    import unet_image_segmentation_tpu.serving as serving
+
+    def boom(*a, **k):
+        raise ValueError("forced for test")
+
+    monkeypatch.setattr(serving, "build_serving_forward", boom)
+    with pytest.warns(RuntimeWarning, match="falling back"):
+        predictor = Predictor(
+            cfg.train.model_out, image_size=(HW, HW), use_pallas=True
+        )
+    # fallback path still functional
+    out = predictor.predict(np.zeros((1, HW, HW, 3), np.float32))
+    assert out.shape == (1, HW, HW, 1)

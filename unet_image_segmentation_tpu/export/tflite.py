@@ -154,8 +154,16 @@ def _write_metadata_sidecar(
         f.write("\n".join(labels) + "\n")
     try:  # best-effort flatbuffer population (tflite_support optional)
         _populate_flatbuffer_metadata(tflite_path, meta, labels_path)
-    except Exception:
-        pass
+    except Exception as e:  # the JSON sidecar above remains authoritative
+        import warnings
+
+        warnings.warn(
+            f"in-file flatbuffer metadata not embedded "
+            f"({type(e).__name__}: {e}); metadata sidecar {sidecar} still "
+            f"written",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
 
 def _populate_flatbuffer_metadata(tflite_path: str, meta: dict, labels_path: str):

@@ -40,7 +40,12 @@ from unet_image_segmentation_tpu.utils.image import (
 
 
 class Predictor:
-    """Checkpoint-backed jitted forward pass with shape-bucketed compile."""
+    """Checkpoint-backed jitted forward pass with shape-bucketed compile.
+
+    ``predict`` pads ragged batches up to the next power-of-two bucket so a
+    dataset's last partial batch reuses an existing compilation instead of
+    triggering a fresh trace per distinct batch size.
+    """
 
     def __init__(
         self,
@@ -82,7 +87,16 @@ class Predictor:
                     depth=len(kwargs.get("filters", (64, 128, 256, 512))),
                     compute_dtype=jnp.dtype(compute_dtype),
                 )
-            except Exception:
+            except Exception as e:
+                import warnings
+
+                warnings.warn(
+                    f"use_pallas=True requested but the fused serving graph "
+                    f"is unavailable ({type(e).__name__}: {e}); falling back "
+                    f"to the XLA module path (slower)",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
                 self._predict = None
         if self._predict is None:
             def _forward(images: jax.Array) -> jax.Array:
@@ -98,8 +112,18 @@ class Predictor:
         return self.model.num_classes
 
     def predict(self, images: np.ndarray) -> np.ndarray:
-        """(B, H, W, C) float32 -> (B, H, W, num_classes) probabilities."""
-        return np.asarray(self._predict(jnp.asarray(images)))
+        """(B, H, W, C) float32 -> (B, H, W, num_classes) probabilities.
+
+        Ragged batch sizes are padded to the next power of two (compile
+        bucketing) and the padding rows sliced off the result.
+        """
+        b = int(images.shape[0])
+        bucket = 1 << max(b - 1, 0).bit_length()
+        if bucket != b:
+            pad = np.zeros((bucket - b, *images.shape[1:]), dtype=images.dtype)
+            images = np.concatenate([np.asarray(images), pad], axis=0)
+        out = np.asarray(self._predict(jnp.asarray(images)))
+        return out[:b]
 
 
 def preprocess_image(

@@ -1,8 +1,9 @@
 """The training loop — reference ``model.fit`` rebuilt around a pjit step.
 
 Per epoch: prefetched host batches -> device (sharded over the mesh's
-'data' axis) -> one fused XLA train step -> host-side metric accumulation
-(scalar means + 2x2 confusion matrices) -> validation pass -> callbacks
+'data' axis) -> one fused XLA train step -> device-side metric accumulation
+(scalar + confusion-matrix sums stay on device; ONE fetch per epoch, so the
+hot loop never host-syncs) -> validation pass -> callbacks
 (best checkpoint / early stop / LR plateau / TensorBoard) — the same
 observable behaviour as reference ``scripts/train.py:308-331``, plus true
 resume, which the reference lacks (SURVEY.md §5 checkpoint/resume).
@@ -60,31 +61,43 @@ class FitResult:
     epochs_run: int = 0
 
 
+@jax.jit
+def _tree_add(a, b):
+    return jax.tree_util.tree_map(jax.numpy.add, a, b)
+
+
 class _EpochMetrics:
-    """Host-side accumulator: scalar means + summed confusion matrices."""
+    """Device-side accumulator: per-step sums stay on device.
+
+    ``update`` only dispatches an async tree-add (no host sync in the hot
+    loop — the round-1 per-step ``device_get`` cost real throughput);
+    everything is fetched ONCE in :meth:`result` at epoch end.
+    """
 
     def __init__(self) -> None:
-        self.sums: Dict[str, float] = {}
-        self.cms: Dict[str, np.ndarray] = {}
+        self._dev: Optional[Dict[str, jax.Array]] = None
         self.n = 0
 
     def update(self, metrics: Dict[str, jax.Array]) -> None:
-        host = jax.device_get(metrics)
-        for k, v in host.items():
-            if k.startswith("cm_"):
-                self.cms[k] = self.cms.get(k, 0) + np.asarray(v)
-            else:
-                self.sums[k] = self.sums.get(k, 0.0) + float(v)
+        self._dev = metrics if self._dev is None else _tree_add(self._dev, metrics)
         self.n += 1
 
     def result(self, prefix: str = "") -> Dict[str, float]:
-        out = {prefix + k: v / max(self.n, 1) for k, v in self.sums.items()}
-        if "cm_raw" in self.cms:
+        if self._dev is None:
+            return {}
+        host = jax.device_get(self._dev)  # the epoch's single sync point
+        sums = {k: np.asarray(v) for k, v in host.items()}
+        out = {
+            prefix + k: float(v) / max(self.n, 1)
+            for k, v in sums.items()
+            if not k.startswith("cm_")
+        }
+        if "cm_raw" in sums:
             out[prefix + "mean_io_u"] = float(
-                mean_iou_from_cm(jax.numpy.asarray(self.cms["cm_raw"]))
+                mean_iou_from_cm(jax.numpy.asarray(sums["cm_raw"]))
             )
-        if "cm_thresh" in self.cms:
-            cm = jax.numpy.asarray(self.cms["cm_thresh"])
+        if "cm_thresh" in sums:
+            cm = jax.numpy.asarray(sums["cm_thresh"])
             out[prefix + "mean_io_u_thresh"] = float(mean_iou_from_cm(cm))
             if cm.shape[0] > 2:  # multi-class: per-class IoU breakdown
                 for i, v in enumerate(per_class_iou_from_cm(cm)):
@@ -233,7 +246,7 @@ def fit(
             ),
             depth=cfg.data.prefetch,
         )
-        timer = StepTimer(sync_every=8)
+        timer = StepTimer(sync_every=32)
         timer.start()
         profiling = (
             tcfg.profile_dir is not None and epoch == start_epoch
@@ -246,8 +259,8 @@ def fit(
             for images, masks in batches:
                 images, masks = put((images, masks))
                 state, metrics = train_step(state, images, masks)
-                acc.update(metrics)  # device_get = hard sync per step
-                timer.lap()
+                acc.update(metrics)  # async device-side sum, no host sync
+                timer.lap(metrics)  # syncs once per 32-step window
                 step_in_epoch += 1
                 if profiling and step_in_epoch >= tcfg.profile_steps:
                     break
@@ -256,7 +269,7 @@ def fit(
                 images, masks = put((images, masks))
                 state, metrics = train_step(state, images, masks)
                 acc.update(metrics)
-                timer.lap()
+                timer.lap(metrics)
         logs = acc.result()
         logs.update({f"step_{k}": v for k, v in timer.summary().items()})
 

@@ -55,10 +55,18 @@ def hard_sync(value: Any) -> None:
 
 
 class StepTimer:
-    """Accumulates per-step wall times; call :meth:`lap` after each step."""
+    """Windowed per-step wall-time statistics; call :meth:`lap` after each step.
+
+    Syncs the device at most once per ``sync_every`` laps (a window) and
+    records that window's per-step average — the hot loop stays fully
+    async-dispatched between windows instead of draining the pipeline
+    every step. With no ``step_output`` the window boundary records
+    dispatch-side wall time only (still correct in aggregate because the
+    caller's epoch-end fetch syncs everything).
+    """
 
     def __init__(self, sync_every: int = 1):
-        self.times: List[float] = []
+        self.times: List[float] = []  # one per-step average per window
         self.sync_every = max(1, sync_every)
         self._t0: Optional[float] = None
         self._n = 0
@@ -71,18 +79,22 @@ class StepTimer:
             self.start()
             return
         self._n += 1
-        if step_output is not None and self._n % self.sync_every == 0:
-            hard_sync(step_output)
-        self.times.append(time.perf_counter() - self._t0)
-        self._t0 = time.perf_counter()
+        if self._n % self.sync_every == 0:
+            if step_output is not None:
+                hard_sync(step_output)
+            dt = (time.perf_counter() - self._t0) / self.sync_every
+            self.times.append(dt)
+            self._t0 = time.perf_counter()
 
     def summary(self) -> Dict[str, float]:
-        if not self.times:
+        if self._n == 0:
             return {}
-        ts = self.times[1:] if len(self.times) > 2 else self.times  # drop warmup
-        return {
-            "steps": float(len(self.times)),
-            "mean_ms": statistics.mean(ts) * 1e3,
-            "p50_ms": statistics.median(ts) * 1e3,
-            "max_ms": max(ts) * 1e3,
-        }
+        out = {"steps": float(self._n)}
+        if self.times:
+            ts = self.times[1:] if len(self.times) > 2 else self.times  # drop warmup
+            out.update(
+                mean_ms=statistics.mean(ts) * 1e3,
+                p50_ms=statistics.median(ts) * 1e3,
+                max_ms=max(ts) * 1e3,
+            )
+        return out
