@@ -75,18 +75,24 @@ class Predictor:
         self.image_size = image_size
 
         self._predict = None
+        # kwargs for (re)building the serving graph — StreamingPredictor
+        # uses these to construct the spatially-sharded variant on a mesh.
+        self.serving_kwargs = None
         if use_pallas and kwargs.get("conv_type", "separable") == "separable":
             try:
                 from unet_image_segmentation_tpu.serving import (
                     build_serving_forward,
                 )
 
-                self._predict = build_serving_forward(
-                    self.variables,
+                serving_kwargs = dict(
                     num_classes=kwargs.get("num_classes", 1),
                     depth=len(kwargs.get("filters", (64, 128, 256, 512))),
                     compute_dtype=jnp.dtype(compute_dtype),
                 )
+                self._predict = build_serving_forward(
+                    self.variables, **serving_kwargs
+                )
+                self.serving_kwargs = serving_kwargs
             except Exception as e:
                 import warnings
 

@@ -51,7 +51,7 @@ either way, so checkpoints are interchangeable.
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -836,6 +836,7 @@ def sepconv_apply_stats(
 
 
 def _sepconv_pair_kernel_db(
+    edge_ref,     # (1, 2) int32 SMEM: [top_is_image_edge, bot_is_image_edge]
     x_hbm,        # (B, H, Wp, pC) ANY
     dwk1_ref,     # (3, 3, pC)
     pww1_ref,     # (pC, pF1)
@@ -857,7 +858,15 @@ def _sepconv_pair_kernel_db(
     """Two chained sepconv+BN+ReLU blocks per tile; the intermediate
     activation never leaves VMEM (one fewer full HBM round trip per
     encoder/bottleneck stage).  Input slabs carry 2-row halos (the chained
-    3x3 receptive field)."""
+    3x3 receptive field).
+
+    ``edge_ref`` supports spatially-sharded use (parallel/halo.py): a shard
+    whose input carries 2 zero HALO rows at the true image edge sets the
+    matching flag so y1 is zeroed over those rows too — block2's 'same'
+    padding must see ZERO y1 beyond the image, not the conv of the x
+    zero-halo (which is nonzero wherever the 3x3 window reaches a real
+    row).  Unsharded callers pass (0, 0) (slab edges == image edges,
+    handled by the virtual-row kills)."""
     b = pl.program_id(0)
     wp = xbuf.shape[2]
     pc = xbuf.shape[3]
@@ -950,11 +959,22 @@ def _sepconv_pair_kernel_db(
         y1 = jnp.maximum(y1, 0.0)
         y1 = y1.reshape(tile_h + 2, wp, pf1)
         # block2's 'same' padding at the image edges must be ZERO, not the
-        # virtual y1 values conv-extended past the image boundary.
+        # virtual y1 values conv-extended past the image boundary.  Work in
+        # slab-global row coordinates so the kill is tile-size independent:
+        # y1 row i of tile j sits at slab row gr = j*tile_h + i - 1.
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_h + 2, 1, 1), 0)
-        kill_top = jnp.logical_and(j == 0, row_ids == 0)
-        kill_bot = jnp.logical_and(j == n_tiles - 1, row_ids == tile_h + 1)
-        y1 = jnp.where(jnp.logical_or(kill_top, kill_bot), 0.0, y1)
+        gr = j * tile_h + row_ids - 1
+        h_total = n_tiles * tile_h
+        kill = jnp.logical_or(gr < 0, gr >= h_total)  # virtual rows
+        # sharded edge shards: the slab's outer 2 rows are zero x-halo
+        # rows standing in for beyond-the-image; y1 there must be 0 too.
+        kill = jnp.logical_or(
+            kill, jnp.logical_and(edge_ref[0, 0] == 1, gr <= 1)
+        )
+        kill = jnp.logical_or(
+            kill, jnp.logical_and(edge_ref[0, 1] == 1, gr >= h_total - 2)
+        )
+        y1 = jnp.where(kill, 0.0, y1)
         y1 = y1.astype(xbuf.dtype)
 
         # block2 over the TH centre rows (y1's own rows provide the halo)
@@ -991,6 +1011,7 @@ def fused_sepconv_pair(
     block1: dict,
     block2: dict,
     eps: float = 1e-3,
+    edge_flags: Optional[Tuple[jax.Array, jax.Array]] = None,
 ) -> Optional[jax.Array]:
     """Inference ConvBlock pair in one kernel (sepconv+BN+ReLU twice).
 
@@ -998,6 +1019,11 @@ def fused_sepconv_pair(
     optional 'bias', and optional BN entries 'scale'/'offset'/'mean'/'var'.
     Returns None when no common lane packing fits (caller falls back to two
     single-block kernels).
+
+    ``edge_flags``: pair of int scalars (possibly traced, e.g. from
+    ``lax.axis_index`` inside shard_map) marking whether x's top/bottom
+    2 rows are zero halo rows at the TRUE image edge (spatially-sharded
+    serving, see serving.build_serving_forward_sharded). None == (0, 0).
     """
     b, h, w, c = x.shape
     f1 = block1["pointwise_kernel"].shape[-1]
@@ -1056,10 +1082,19 @@ def fused_sepconv_pair(
     kernel = functools.partial(
         _sepconv_pair_kernel_db, tile_h=tile_h, n_tiles=n_tiles, c=c, f1=f1
     )
+    if edge_flags is None:
+        edges = jnp.zeros((1, 2), jnp.int32)
+    else:
+        edges = jnp.stack(
+            [jnp.asarray(e, jnp.int32) for e in edge_flags]
+        ).reshape(1, 2)
     out = pl.pallas_call(
         kernel,
         grid=(b,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda bi: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((b, h, wp, pf2), x.dtype),
@@ -1075,5 +1110,5 @@ def fused_sepconv_pair(
             transcendentals=0,
         ),
         interpret=_use_interpret(),
-    )(xp, dwk1, pww1, aff1, dwk2, pww2, aff2)
+    )(edges, xp, dwk1, pww1, aff1, dwk2, pww2, aff2)
     return out.reshape(b, h, w, f2)

@@ -26,12 +26,15 @@ from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from unet_image_segmentation_tpu.ops import conv as conv_ops
 from unet_image_segmentation_tpu.ops.pallas.fused_sepconv import (
     fused_sepconv_bn_relu,
     fused_sepconv_pair,
 )
+from unet_image_segmentation_tpu.parallel.halo import halo_exchange
 
 
 def _block_dict(params: Dict, stats: Dict, name: str) -> Dict[str, Any]:
@@ -72,13 +75,14 @@ def _pair(x: jax.Array, b1: Dict, b2: Dict) -> jax.Array:
     return _single_block(_single_block(x, b1), b2)
 
 
-def build_serving_forward(
+def _make_forward(
     variables: Dict[str, Any],
-    num_classes: int = 1,
-    depth: int = 4,
-    compute_dtype: Any = jnp.bfloat16,
+    num_classes: int,
+    depth: int,
+    compute_dtype: Any,
+    pair_fn: Callable[[jax.Array, Dict, Dict], jax.Array],
 ) -> Callable[[jax.Array], jax.Array]:
-    """Jitted maximum-fusion forward over a standard U-Net variable tree."""
+    """Serving graph body; ``pair_fn`` runs each fused ConvBlock pair."""
     params = variables["params"]
     stats = variables.get("batch_stats", {})
 
@@ -88,11 +92,11 @@ def build_serving_forward(
         for stage in range(1, depth + 1):
             b1 = _block_dict(params, stats, f"enc{stage}_block1")
             b2 = _block_dict(params, stats, f"enc{stage}_block2")
-            x = _pair(x, b1, b2)
+            x = pair_fn(x, b1, b2)
             skips.append(x)
             x = conv_ops.max_pool_2x2(x)
 
-        x = _pair(
+        x = pair_fn(
             x,
             _block_dict(params, stats, "bneck_block1"),
             _block_dict(params, stats, "bneck_block2"),
@@ -103,7 +107,7 @@ def build_serving_forward(
             x = conv_ops.conv_transpose_2x2(x, up["kernel"], up["bias"])
             skip = skips[depth - 1 - i]
             x = jnp.concatenate([x, skip], axis=-1)
-            x = _pair(
+            x = pair_fn(
                 x,
                 _block_dict(params, stats, f"dec{stage}_block1"),
                 _block_dict(params, stats, f"dec{stage}_block2"),
@@ -116,4 +120,81 @@ def build_serving_forward(
             return jax.nn.sigmoid(logits)
         return jax.nn.softmax(logits, axis=-1)
 
-    return jax.jit(forward)
+    return forward
+
+
+def build_serving_forward(
+    variables: Dict[str, Any],
+    num_classes: int = 1,
+    depth: int = 4,
+    compute_dtype: Any = jnp.bfloat16,
+) -> Callable[[jax.Array], jax.Array]:
+    """Jitted maximum-fusion forward over a standard U-Net variable tree."""
+    return jax.jit(
+        _make_forward(variables, num_classes, depth, compute_dtype, _pair)
+    )
+
+
+def build_serving_forward_sharded(
+    variables: Dict[str, Any],
+    mesh: Mesh,
+    num_classes: int = 1,
+    depth: int = 4,
+    compute_dtype: Any = jnp.bfloat16,
+    batch_axis: str = "data",
+    spatial_axis: str = "spatial",
+) -> Callable[[jax.Array], jax.Array]:
+    """Spatially-sharded Pallas serving graph (shard_map + explicit halos).
+
+    GSPMD cannot partition a ``pallas_call``, so the multi-chip serving
+    path wraps the SAME hand-scheduled graph in ``shard_map`` with image
+    rows on ``spatial_axis``: before every fused block pair the shard
+    exchanges 2-row halos with its mesh neighbours over ICI
+    (:func:`..parallel.halo.halo_exchange` — the chained 3x3 receptive
+    field of a pair needs 2 rows) and trims them afterwards.  The pair
+    kernel zero-pads its slab edges, which only corrupts the 2 trimmed
+    rows; at the true image edge the halo rows ARE zero, reproducing
+    'same'-padding semantics exactly.  Pools, transpose-ups, concats and
+    the 1x1 head are row-local, so the composition equals the unsharded
+    graph (pinned by ``tests/test_serving.py``).
+
+    Scales the capability the reference caps by host-resizing everything
+    to 256px (reference ``scripts/inference.py:106-108``).
+    """
+    if spatial_axis not in mesh.shape:
+        raise ValueError(f"mesh has no {spatial_axis!r} axis: {mesh.shape}")
+    n_spatial = mesh.shape[spatial_axis]
+
+    def halo_pair(x: jax.Array, b1: Dict, b2: Dict) -> jax.Array:
+        if n_spatial == 1:
+            return _pair(x, b1, b2)
+        idx = jax.lax.axis_index(spatial_axis)
+        top_edge = (idx == 0).astype(jnp.int32)
+        bot_edge = (idx == n_spatial - 1).astype(jnp.int32)
+        xp = halo_exchange(x, spatial_axis, halo=2)
+        y = fused_sepconv_pair(xp, b1, b2, edge_flags=(top_edge, bot_edge))
+        if y is not None:
+            return y[:, 2:-2]
+        # No packing / tile fit for the pair: per-block halo exchange.
+        # A 1-row zero halo at the true edge IS the 'same' padding row, so
+        # single blocks are exact without edge flags.
+        x1 = halo_exchange(x, spatial_axis, halo=1)
+        y1 = _single_block(x1, b1)[:, 1:-1]
+        y1p = halo_exchange(y1, spatial_axis, halo=1)
+        return _single_block(y1p, b2)[:, 1:-1]
+
+    local_forward = _make_forward(
+        variables, num_classes, depth, compute_dtype, halo_pair
+    )
+    spec = P(batch_axis, spatial_axis, None, None)
+    sharded = shard_map(
+        local_forward,
+        mesh=mesh,
+        in_specs=spec,
+        out_specs=spec,
+        check_vma=False,
+    )
+    io_sharding = NamedSharding(mesh, spec)
+    return jax.jit(
+        sharded, in_shardings=(io_sharding,), out_shardings=io_sharding
+    )

@@ -65,6 +65,17 @@ class StreamingPredictor:
         forward = getattr(predictor, "forward_fn", None) or (
             lambda imgs: model.apply(predictor.variables, imgs, train=False)
         )
+        if mesh is not None and getattr(predictor, "serving_kwargs", None):
+            # GSPMD cannot partition pallas_calls: swap in the shard_map
+            # serving graph (explicit ICI halo exchange per fused pair) so
+            # Pallas kernels run per spatial shard instead of falling back.
+            from unet_image_segmentation_tpu.serving import (
+                build_serving_forward_sharded,
+            )
+
+            forward = build_serving_forward_sharded(
+                predictor.variables, mesh, **predictor.serving_kwargs
+            )
 
         def pipeline(frames_u8: jax.Array) -> jax.Array:
             x = frames_u8.astype(jnp.float32) / 255.0
