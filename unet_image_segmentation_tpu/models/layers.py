@@ -172,7 +172,26 @@ class ConvBlock(nn.Module):
         x: jax.Array,
         train: bool = False,
         x2: Optional[jax.Array] = None,
-    ) -> jax.Array:
+        params_only: bool = False,
+        in_features: Optional[int] = None,
+    ) -> Any:
+        if params_only:
+            # Declare the identical variable tree and hand the raw params
+            # (+ BN mutable refs) to the caller — the whole-stage fused
+            # training chain (ops/pallas/fused_train.py) consumes blocks
+            # jointly, so the parent assembles the stage. Checkpoints stay
+            # interchangeable with every other path.
+            assert self.conv_type == "separable" and self.use_batch_norm
+            dw, pw, _ = SepConvParams(
+                features=self.features,
+                kernel_size=self.kernel_size,
+                use_bias=False,
+                name="sepconv",
+            )(in_features if in_features is not None else x.shape[-1])
+            scale, offset, mean_var, var_var = BatchNormParams(
+                features=self.features, name="bn"
+            )()
+            return dw, pw, scale, offset, mean_var, var_var
         if self.use_pallas and self.conv_type == "separable" and self.kernel_size == 3:
             if x2 is not None:
                 x = jnp.concatenate([x, x2], axis=-1)

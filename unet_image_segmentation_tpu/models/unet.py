@@ -66,20 +66,60 @@ class UNet(nn.Module):
                 name=name,
             )
 
+        # Whole-stage fused training chain: both ConvBlocks of a stage run
+        # through ops/pallas/fused_train.py — block2's kernel applies
+        # block1's BatchNorm affine + ReLU to its tiles in VMEM, BN batch
+        # moments ride along with each forward, and the backward is the
+        # fused 3-stream Pallas kernel (no XLA BN backward, no f32
+        # residual materialization). Variable trees are identical to the
+        # per-block paths.
+        use_chain = (
+            train
+            and self.use_pallas
+            and self.use_batch_norm
+            and self.conv_type == "separable"
+        )
+
+        def run_pair(x: jax.Array, feats: int, name1: str, name2: str) -> jax.Array:
+            b1, b2 = block(feats, name1), block(feats, name2)
+            if not use_chain:
+                return b2(b1(x, train), train)
+            from unet_image_segmentation_tpu.ops.pallas.fused_train import (
+                fused_chain_train,
+            )
+
+            p1 = b1(x, train, params_only=True, in_features=x.shape[-1])
+            p2 = b2(x, train, params_only=True, in_features=feats)
+            z, stats = fused_chain_train(
+                x.astype(self.dtype),
+                [(p[0], p[1], p[2], p[3]) for p in (p1, p2)],
+                eps=1e-3,
+                axis_name=self.bn_axis_name,
+            )
+            if not self.is_initializing():
+                momentum = 0.99  # Keras BatchNormalization default
+                for (pm, pv), pvars in zip(stats, (p1, p2)):
+                    mean_var, var_var = pvars[4], pvars[5]
+                    mean_var.value = (
+                        momentum * mean_var.value + (1 - momentum) * pm
+                    )
+                    var_var.value = (
+                        momentum * var_var.value + (1 - momentum) * pv
+                    )
+            return z
+
         x = x.astype(self.dtype)
         skips = []
         # --- Encoder ---
         for i, f in enumerate(self.filters):
             stage = i + 1
-            x = block(f, f"enc{stage}_block1")(x, train)
-            x = block(f, f"enc{stage}_block2")(x, train)
+            x = run_pair(x, f, f"enc{stage}_block1", f"enc{stage}_block2")
             skips.append(x)
             x = max_pool_2x2(x)
 
         # --- Bottleneck ---
         bneck = self.filters[-1] * 2
-        x = block(bneck, "bneck_block1")(x, train)
-        x = block(bneck, "bneck_block2")(x, train)
+        x = run_pair(x, bneck, "bneck_block1", "bneck_block2")
         if self.dropout_rate > 0.0:
             x = nn.Dropout(
                 rate=self.dropout_rate, deterministic=not train, name="bneck_dropout"
@@ -104,7 +144,9 @@ class UNet(nn.Module):
                         deterministic=False,
                         name=f"dec{stage}_dropout",
                     )(x)
-                x = block(f, f"dec{stage}_block1")(x, train)
+                x = run_pair(
+                    x, f, f"dec{stage}_block1", f"dec{stage}_block2"
+                )
             else:
                 if has_dropout:
                     # declare the (inactive) module so the tree is stable
@@ -118,7 +160,7 @@ class UNet(nn.Module):
                 # eliminating the concat materialization and its TPU
                 # relayout copies (+8% serving throughput on v5e).
                 x = block(f, f"dec{stage}_block1")(x, train, x2=skip)
-            x = block(f, f"dec{stage}_block2")(x, train)
+                x = block(f, f"dec{stage}_block2")(x, train)
 
         # --- Head (computed in float32 for a stable sigmoid/softmax) ---
         from unet_image_segmentation_tpu.models.layers import Conv

@@ -1,0 +1,1006 @@
+"""Pallas TPU kernels: whole-stage fused TRAINING path (ConvBlock chains).
+
+The reference's hot loop is chains of ``SeparableConv -> BatchNorm -> ReLU``
+blocks (two per U-Net stage, reference ``model/u_net.py:5-26``).  Round 1
+ran each block as [Pallas sepconv+stats] -> [XLA normalize+ReLU] ->
+(backward) [XLA BN backward] -> [XLA g_eff fold] -> [Pallas conv backward].
+Profiling on v5e showed that structure is dominated by HBM round trips the
+compiler cannot remove: every XLA<->Pallas boundary materializes the
+activation (with layout-conversion copies, since 64-channel tensors
+half-fill the 128-lane tiles and XLA prefers non-C-minor layouts that
+``pallas_call`` cannot accept), and autodiff saves the normalized
+activation as an extra residual.
+
+This module restructures a whole chain (block1 -> block2) around three
+ideas:
+
+* **Affine-into-kernel forward**: block k+1's kernel applies block k's
+  BatchNorm affine + ReLU to its input tiles in VMEM (``z = relu(a*y+b)``
+  with the batch moments folded into per-channel ``a, b``), so the
+  normalized activation never exists in HBM.  Each block's kernel emits
+  the BN batch moments of its raw output alongside (one pass).
+* **Fused BN backward**: the backward kernel builds the upstream gradient
+  w.r.t. its raw output IN-KERNEL from three streams (input x, raw
+  gradient g, own output y) and per-channel constants — the full
+  BatchNorm backward ``dy = a*(g*mask) + B + (y-mean)*C`` — and emits the
+  next block's BN-backward reductions (sum, sum*yhat of the masked input
+  gradient) as it writes dx.  No g_eff materialization, no XLA BN
+  backward, no f32 residuals.
+* **Flash-style residuals**: only the raw (pre-BN) activations are saved;
+  ReLU masks and normalized values are recomputed on VMEM tiles.
+
+Numerics match the composed-XLA chain (:func:`chain_reference`) within
+bf16 tolerance; gradients are pinned against ``jax.vjp`` of the reference
+in ``tests/test_fused_train.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from unet_image_segmentation_tpu.ops import conv as conv_ops
+from unet_image_segmentation_tpu.ops.pallas import fused_sepconv as fs
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel: [input affine+ReLU] -> sepconv -> emit (y, sum, sumsq)
+# ---------------------------------------------------------------------------
+
+
+def _fwd_train_kernel(
+    x_hbm,        # (B, H, Wp, pC) ANY
+    aff_ref,      # (2, pC) VMEM: row0 in_scale, row1 in_shift
+    dwk_ref,      # (3, 3, pC) VMEM
+    pww_ref,      # (pC, pF) VMEM
+    out_hbm,      # (B, H, Wp, pF) ANY
+    sum_ref,      # (8, pF) VMEM accumulated (row 0)
+    sq_ref,       # (8, pF) VMEM accumulated (row 0)
+    xbuf,         # scratch (2, TH+2, Wp, pC)
+    ybuf,         # scratch (2, TH, Wp, pF)
+    s_acc,        # scratch (8, pF) f32
+    q_acc,        # scratch (8, pF) f32
+    in_sems,      # (2, 3)
+    out_sems,     # (2,)
+    *,
+    tile_h: int,
+    n_tiles: int,
+    c: int,
+    in_affine: bool,
+):
+    """Double-buffered sepconv forward with optional input affine+ReLU.
+
+    With ``in_affine`` the loaded slab is transformed ``z = relu(a*x + b)``
+    in VMEM before the conv — the previous block's BatchNorm+ReLU applied
+    on the fly.  Virtual edge rows are re-zeroed AFTER the transform
+    ('same' padding pads the POST-activation z with zeros, and
+    ``relu(b) != 0`` in general).
+    """
+    b = pl.program_id(0)
+    wp = xbuf.shape[2]
+    pc = xbuf.shape[3]
+    pf = ybuf.shape[3]
+
+    def start_in(j, slot):
+        row0 = j * tile_h
+        pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(row0, tile_h)],
+            xbuf.at[slot, pl.ds(1, tile_h)],
+            in_sems.at[slot, 0],
+        ).start()
+
+        @pl.when(j > 0)
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(row0 - 1, 1)],
+                xbuf.at[slot, pl.ds(0, 1)],
+                in_sems.at[slot, 1],
+            ).start()
+
+        @pl.when(j < n_tiles - 1)
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(row0 + tile_h, 1)],
+                xbuf.at[slot, pl.ds(tile_h + 1, 1)],
+                in_sems.at[slot, 2],
+            ).start()
+
+    def wait_in(j, slot):
+        row0 = j * tile_h
+        pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(row0, tile_h)],
+            xbuf.at[slot, pl.ds(1, tile_h)],
+            in_sems.at[slot, 0],
+        ).wait()
+
+        @pl.when(j > 0)
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(row0 - 1, 1)],
+                xbuf.at[slot, pl.ds(0, 1)],
+                in_sems.at[slot, 1],
+            ).wait()
+
+        @pl.when(j < n_tiles - 1)
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(row0 + tile_h, 1)],
+                xbuf.at[slot, pl.ds(tile_h + 1, 1)],
+                in_sems.at[slot, 2],
+            ).wait()
+
+        if in_affine:
+            z = (
+                xbuf[slot].astype(jnp.float32) * aff_ref[0][None, None, :]
+                + aff_ref[1][None, None, :]
+            )
+            xbuf[slot] = jnp.maximum(z, 0.0).astype(xbuf.dtype)
+
+        # virtual rows AFTER the transform: padding is zero in z-space
+        @pl.when(j == 0)
+        def _():
+            xbuf[slot, 0, :, :] = jnp.zeros((wp, pc), xbuf.dtype)
+
+        @pl.when(j == n_tiles - 1)
+        def _():
+            xbuf[slot, tile_h + 1, :, :] = jnp.zeros((wp, pc), xbuf.dtype)
+
+    def out_copy(j, slot):
+        return pltpu.make_async_copy(
+            ybuf.at[slot],
+            out_hbm.at[b, pl.ds(j * tile_h, tile_h)],
+            out_sems.at[slot],
+        )
+
+    s_acc[...] = jnp.zeros((8, pf), jnp.float32)
+    q_acc[...] = jnp.zeros((8, pf), jnp.float32)
+
+    start_in(0, 0)
+
+    def body(j, _):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < n_tiles)
+        def _():
+            start_in(j + 1, jax.lax.rem(j + 1, 2))
+
+        wait_in(j, slot)
+
+        @pl.when(j >= 2)
+        def _():
+            out_copy(j - 2, slot).wait()
+
+        y = fs._tile_sepconv(xbuf[slot], dwk_ref, pww_ref, tile_h, wp, pc, c)
+        y_cast = y.astype(ybuf.dtype)
+        ybuf[slot] = y_cast.reshape(tile_h, wp, pf)
+        out_copy(j, slot).start()
+
+        yf = y_cast.astype(jnp.float32)
+        s_acc[0, :] = s_acc[0, :] + jnp.sum(yf, axis=0)
+        q_acc[0, :] = q_acc[0, :] + jnp.sum(yf * yf, axis=0)
+        return ()
+
+    jax.lax.fori_loop(0, n_tiles, body, (), unroll=False)
+
+    @pl.when(n_tiles >= 2)
+    def _():
+        out_copy(n_tiles - 2, jax.lax.rem(n_tiles - 2, 2)).wait()
+
+    out_copy(n_tiles - 1, jax.lax.rem(n_tiles - 1, 2)).wait()
+
+    first = b == 0
+
+    @pl.when(first)
+    def _():
+        sum_ref[...] = s_acc[...]
+        sq_ref[...] = q_acc[...]
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        sum_ref[...] = sum_ref[...] + s_acc[...]
+        sq_ref[...] = sq_ref[...] + q_acc[...]
+
+
+def _fwd_train_pallas(
+    x: jax.Array,
+    dwk: jax.Array,     # (3, 3, C)
+    pww: jax.Array,     # (C, F)
+    in_scale: Optional[jax.Array],  # (C,) or None
+    in_shift: Optional[jax.Array],  # (C,) or None
+) -> Optional[Tuple[jax.Array, jax.Array, jax.Array]]:
+    """(y, sum, sumsq) with optional fused input affine+ReLU; None = no fit."""
+    b, h, w, c = x.shape
+    f = pww.shape[1]
+    p = fs._pick_pack(c, f, w)
+    if p is None:
+        return None
+    in_affine = in_scale is not None
+    xp = x.reshape(b, h, w // p, p * c)
+    if p > 1:
+        dwk_p = jnp.tile(dwk, (1, 1, p))
+        pww_p = jnp.kron(jnp.eye(p, dtype=pww.dtype), pww)
+    else:
+        dwk_p, pww_p = dwk, pww
+    wp, pc, pf = w // p, p * c, p * f
+    if in_affine:
+        aff = jnp.stack(
+            [jnp.tile(in_scale.astype(jnp.float32), p),
+             jnp.tile(in_shift.astype(jnp.float32), p)],
+            axis=0,
+        )
+    else:
+        aff = jnp.zeros((2, pc), jnp.float32)
+    tile_h = fs._pick_tile_h(h, wp, max(pc, pf), vmem_budget=6 * 1024 * 1024)
+    n_tiles = h // tile_h
+    kernel = functools.partial(
+        _fwd_train_kernel,
+        tile_h=tile_h,
+        n_tiles=n_tiles,
+        c=c,
+        in_affine=in_affine,
+    )
+    y_p, s_p, q_p = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((8, pf), lambda bi: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, pf), lambda bi: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, wp, pf), x.dtype),
+            jax.ShapeDtypeStruct((8, pf), jnp.float32),
+            jax.ShapeDtypeStruct((8, pf), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_h + 2, wp, pc), x.dtype),
+            pltpu.VMEM((2, tile_h, wp, pf), x.dtype),
+            pltpu.VMEM((8, pf), jnp.float32),
+            pltpu.VMEM((8, pf), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=b * h * w * (9 * c + 2 * c * f),
+            bytes_accessed=(b * h * w * (c + f)) * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=_use_interpret(),
+    )(xp, aff, dwk_p, pww_p)
+    y = y_p.reshape(b, h, w, f)
+    s = s_p[0].reshape(p, f).sum(axis=0)
+    q = q_p[0].reshape(p, f).sum(axis=0)
+    return y, s, q
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel: combine-in, conv backward, mask-out + BN reductions
+# ---------------------------------------------------------------------------
+
+
+def _bwd_train_kernel(
+    x_hbm,        # (B, H, Wp, pC) ANY — block input (pre-affine form)
+    g_hbm,        # (B, H, Wp, pF) ANY — raw upstream grad (see `combine`)
+    y_hbm,        # (B, H, Wp, pF) ANY — block's own raw output (combine mode)
+    in_aff_ref,   # (4, pC): in_scale, in_shift, in_mean, in_rstd
+    comb_ref,     # (6, pF): A, B, C, mean_out, a_out, b_out
+    dwk_ref,      # (3, 3, pC)
+    pwt_ref,      # (pF, pC)
+    dx_hbm,       # (B, H, Wp, pC) ANY — manual write-back
+    ddw_ref,      # (16, pC)
+    dpw_ref,      # (pC, pF)
+    ssum_ref,     # (8, pC): row0 = sum(dz~), row1 = sum(dz~ * xhat)
+    xbuf,         # scratch (2, TH+2, Wp, pC)
+    gbuf,         # scratch (2, TH+2, Wp, pF)
+    ybuf,         # scratch (2, TH+2, Wp, pF) (combine mode; dummy (2,1,..) else)
+    dxbuf,        # scratch (2, TH, Wp, pC)
+    ddw_acc,      # scratch (16, pC) f32
+    dpw_acc,      # scratch (pC, pF) f32
+    st_acc,       # scratch (8, pC) f32
+    in_sems,      # (2, 9)
+    out_sems,     # (2,)
+    *,
+    tile_h: int,
+    n_tiles: int,
+    c: int,
+    in_affine: bool,
+    combine: bool,
+    mask_combine: bool,
+):
+    """Fused chain backward for one block (see module docstring).
+
+    Builds the gradient w.r.t. the block's raw output per tile:
+      combine:      gy = A*(g [* mask(a_out*y+b_out)]) + B + (y-mean_out)*C
+      no combine:   gy = g  (already the raw-output gradient)
+    then runs the separable-conv backward with the block's INPUT activation
+    recomputed from the pre-affine x when ``in_affine``
+    (``z = relu(in_scale*x + in_shift)``), writes ``dx`` — masked by
+    ``relu'`` and ready as the PREVIOUS block's raw gradient — and emits
+    the previous block's BN reductions sum(dz~), sum(dz~*xhat).
+    """
+    b = pl.program_id(0)
+    wp = xbuf.shape[2]
+    pc = xbuf.shape[3]
+    pf = gbuf.shape[3]
+
+    streams = [(x_hbm, xbuf), (g_hbm, gbuf)]
+    if combine:
+        streams.append((y_hbm, ybuf))
+
+    def start_in(j, slot):
+        row0 = j * tile_h
+        for base, (hbm, buf) in enumerate(streams):
+            off = base * 3
+            pltpu.make_async_copy(
+                hbm.at[b, pl.ds(row0, tile_h)],
+                buf.at[slot, pl.ds(1, tile_h)],
+                in_sems.at[slot, off],
+            ).start()
+
+            @pl.when(j > 0)
+            def _():
+                pltpu.make_async_copy(
+                    hbm.at[b, pl.ds(row0 - 1, 1)],
+                    buf.at[slot, pl.ds(0, 1)],
+                    in_sems.at[slot, off + 1],
+                ).start()
+
+            @pl.when(j < n_tiles - 1)
+            def _():
+                pltpu.make_async_copy(
+                    hbm.at[b, pl.ds(row0 + tile_h, 1)],
+                    buf.at[slot, pl.ds(tile_h + 1, 1)],
+                    in_sems.at[slot, off + 2],
+                ).start()
+
+    def wait_in(j, slot):
+        row0 = j * tile_h
+        for base, (hbm, buf) in enumerate(streams):
+            off = base * 3
+            pltpu.make_async_copy(
+                hbm.at[b, pl.ds(row0, tile_h)],
+                buf.at[slot, pl.ds(1, tile_h)],
+                in_sems.at[slot, off],
+            ).wait()
+
+            @pl.when(j > 0)
+            def _():
+                pltpu.make_async_copy(
+                    hbm.at[b, pl.ds(row0 - 1, 1)],
+                    buf.at[slot, pl.ds(0, 1)],
+                    in_sems.at[slot, off + 1],
+                ).wait()
+
+            @pl.when(j == 0)
+            def _():
+                buf[slot, 0, :, :] = jnp.zeros(
+                    (buf.shape[2], buf.shape[3]), buf.dtype
+                )
+
+            @pl.when(j < n_tiles - 1)
+            def _():
+                pltpu.make_async_copy(
+                    hbm.at[b, pl.ds(row0 + tile_h, 1)],
+                    buf.at[slot, pl.ds(tile_h + 1, 1)],
+                    in_sems.at[slot, off + 2],
+                ).wait()
+
+            @pl.when(j == n_tiles - 1)
+            def _():
+                buf[slot, tile_h + 1, :, :] = jnp.zeros(
+                    (buf.shape[2], buf.shape[3]), buf.dtype
+                )
+
+    def out_copy(j, slot):
+        return pltpu.make_async_copy(
+            dxbuf.at[slot],
+            dx_hbm.at[b, pl.ds(j * tile_h, tile_h)],
+            out_sems.at[slot],
+        )
+
+    ddw_acc[...] = jnp.zeros((16, pc), jnp.float32)
+    dpw_acc[...] = jnp.zeros((pc, pf), jnp.float32)
+    st_acc[...] = jnp.zeros((8, pc), jnp.float32)
+
+    start_in(0, 0)
+
+    def shift_pixels(rows, direction):
+        zq = jnp.zeros((rows.shape[0], 1, rows.shape[2]), rows.dtype)
+        width_c = c
+        if direction == +1:
+            q_next = jnp.concatenate([rows[:, 1:], zq], axis=1)
+            if rows.shape[2] == width_c:
+                return q_next
+            return jnp.concatenate(
+                [rows[:, :, width_c:], q_next[:, :, :width_c]], axis=-1
+            )
+        q_prev = jnp.concatenate([zq, rows[:, :-1]], axis=1)
+        if rows.shape[2] == width_c:
+            return q_prev
+        tail = rows.shape[2] - width_c
+        return jnp.concatenate(
+            [q_prev[:, :, tail:], rows[:, :, :tail]], axis=-1
+        )
+
+    def body(j, _):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < n_tiles)
+        def _():
+            start_in(j + 1, jax.lax.rem(j + 1, 2))
+
+        wait_in(j, slot)
+
+        @pl.when(j >= 2)
+        def _():
+            out_copy(j - 2, slot).wait()
+
+        # --- build gy over the (TH+2) slab ---
+        g_all = gbuf[slot]
+        if combine:
+            yf = ybuf[slot].astype(jnp.float32)
+            gf = g_all.astype(jnp.float32)
+            if mask_combine:
+                w_out = yf * comb_ref[4][None, None, :] + comb_ref[5][None, None, :]
+                gf = jnp.where(w_out > 0, gf, 0.0)
+            gy = (
+                gf * comb_ref[0][None, None, :]
+                + comb_ref[1][None, None, :]
+                + (yf - comb_ref[3][None, None, :]) * comb_ref[2][None, None, :]
+            )
+            # the B / (y-mean)*C terms are nonzero on virtual slab rows;
+            # zero them (padding rows carry no gradient).
+            row_ids = jax.lax.broadcasted_iota(
+                jnp.int32, (tile_h + 2, 1, 1), 0
+            )
+            gr = j * tile_h + row_ids - 1
+            virt = jnp.logical_or(gr < 0, gr >= n_tiles * tile_h)
+            gy = jnp.where(virt, 0.0, gy)
+            gy_cast = gy.astype(g_hbm.dtype)
+        else:
+            gy_cast = g_all
+
+        dm = jnp.dot(
+            gy_cast.reshape((tile_h + 2) * wp, pf),
+            pwt_ref[...],
+            preferred_element_type=jnp.float32,
+        ).reshape(tile_h + 2, wp, pc)
+
+        # dz: correlate dm with flipped taps (grad w.r.t. the conv INPUT z)
+        dz = jnp.zeros((tile_h, wp, pc), jnp.float32)
+        for di in range(3):
+            rows = dm[2 - di : 2 - di + tile_h]
+            for dj in range(3):
+                tap = dwk_ref[di, dj].astype(jnp.float32)
+                if dj == 0:
+                    shifted = shift_pixels(rows, +1)
+                elif dj == 2:
+                    shifted = shift_pixels(rows, -1)
+                else:
+                    shifted = rows
+                dz = dz + shifted * tap[None, None, :]
+
+        if in_affine:
+            x_center = xbuf[slot, pl.ds(1, tile_h)].astype(jnp.float32)
+            w_in = (
+                x_center * in_aff_ref[0][None, None, :]
+                + in_aff_ref[1][None, None, :]
+            )
+            dz = jnp.where(w_in > 0, dz, 0.0)  # dz~ = masked input grad
+            xhat = (
+                x_center - in_aff_ref[2][None, None, :]
+            ) * in_aff_ref[3][None, None, :]
+            st_acc[0, :] = st_acc[0, :] + jnp.sum(dz, axis=(0, 1))
+            st_acc[1, :] = st_acc[1, :] + jnp.sum(dz * xhat, axis=(0, 1))
+        dxbuf[slot] = dz.astype(dxbuf.dtype)
+        out_copy(j, slot).start()
+
+        # --- weight grads: need the conv input z (recompute from x) ---
+        dm_center = dm[1 : 1 + tile_h]
+        m = jnp.zeros((tile_h, wp, pc), jnp.float32)
+        ddw_rows = []
+        for di in range(3):
+            xrows = xbuf[slot, pl.ds(di, tile_h)].astype(jnp.float32)
+            if in_affine:
+                w_rows = (
+                    xrows * in_aff_ref[0][None, None, :]
+                    + in_aff_ref[1][None, None, :]
+                )
+                zrows = jnp.maximum(w_rows, 0.0)
+                # virtual rows of the slab must stay zero in z-space
+                row_ids = jax.lax.broadcasted_iota(
+                    jnp.int32, (tile_h, 1, 1), 0
+                )
+                gr = j * tile_h + row_ids + di - 1
+                virt = jnp.logical_or(gr < 0, gr >= n_tiles * tile_h)
+                zrows = jnp.where(virt, 0.0, zrows)
+            else:
+                zrows = xrows
+            for dj in range(3):
+                if dj == 0:
+                    zs = shift_pixels(zrows, -1)
+                elif dj == 2:
+                    zs = shift_pixels(zrows, +1)
+                else:
+                    zs = zrows
+                ddw_rows.append(jnp.sum(zs * dm_center, axis=(0, 1)))
+                tap = dwk_ref[di, dj].astype(jnp.float32)
+                m = m + zs * tap[None, None, :]
+        ddw_tile = jnp.stack(
+            ddw_rows + [jnp.zeros((pc,), jnp.float32)] * 7, axis=0
+        )
+
+        gy_center = (
+            gy_cast[1 : 1 + tile_h]
+            if combine
+            else gbuf[slot, pl.ds(1, tile_h)]
+        )
+        dpw_tile = jax.lax.dot_general(
+            m.reshape(tile_h * wp, pc).astype(g_hbm.dtype),
+            gy_center.reshape(tile_h * wp, pf),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        ddw_acc[...] = ddw_acc[...] + ddw_tile
+        dpw_acc[...] = dpw_acc[...] + dpw_tile
+        return ()
+
+    jax.lax.fori_loop(0, n_tiles, body, (), unroll=False)
+
+    @pl.when(n_tiles >= 2)
+    def _():
+        out_copy(n_tiles - 2, jax.lax.rem(n_tiles - 2, 2)).wait()
+
+    out_copy(n_tiles - 1, jax.lax.rem(n_tiles - 1, 2)).wait()
+
+    first = b == 0
+
+    @pl.when(first)
+    def _():
+        ddw_ref[...] = ddw_acc[...]
+        dpw_ref[...] = dpw_acc[...]
+        ssum_ref[...] = st_acc[...]
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        ddw_ref[...] = ddw_ref[...] + ddw_acc[...]
+        dpw_ref[...] = dpw_ref[...] + dpw_acc[...]
+        ssum_ref[...] = ssum_ref[...] + st_acc[...]
+
+
+def _pick_tile_h_bwd3(h: int, wp: int, pc: int, pf: int, combine: bool) -> int:
+    budget = 9 * 1024 * 1024
+    slack = 1.4
+    n_slabs_pf = 2 + (2 if combine else 0)  # g (+ y) double-buffered
+    per_slab_row = wp * 2 * (2 * pc + n_slabs_pf * pf)
+    per_body_row = wp * (2 * pc + 4 * pc + 4 * pc + 4 * pc + (4 * pf if combine else 0))
+    fixed = pc * pf * 8
+    for tile in (64, 32, 16, 8, 4, 2, 1):
+        if h % tile:
+            continue
+        working = (tile + 2) * per_slab_row + tile * per_body_row + fixed
+        if working * slack <= budget:
+            return tile
+    return 1
+
+
+def _bwd_train_pallas(
+    x: jax.Array,
+    g: jax.Array,
+    y: Optional[jax.Array],
+    dwk: jax.Array,
+    pww: jax.Array,
+    in_aff: Optional[jnp.ndarray],   # (4, C) or None
+    comb: Optional[jnp.ndarray],     # (6, F) or None
+    mask_combine: bool,
+) -> Optional[Tuple[jax.Array, jax.Array, jax.Array, jax.Array]]:
+    """Returns (dx, ddw, dpw, stat_sums (2, C)) or None when no packing fits."""
+    b, h, w, c = x.shape
+    f = pww.shape[1]
+    p = fs._pick_pack(c, f, w)
+    if p is None:
+        return None
+    in_affine = in_aff is not None
+    combine = comb is not None
+    wp, pc, pf = w // p, p * c, p * f
+    xp = x.reshape(b, h, wp, pc)
+    gp = g.reshape(b, h, wp, pf)
+    yp = y.reshape(b, h, wp, pf) if combine else gp  # dummy alias when unused
+    if p > 1:
+        dwk_p = jnp.tile(dwk, (1, 1, p))
+        pww_p = jnp.kron(jnp.eye(p, dtype=pww.dtype), pww)
+    else:
+        dwk_p, pww_p = dwk, pww
+    pwt = pww_p.T.astype(g.dtype)
+
+    in_aff_p = (
+        jnp.tile(in_aff.astype(jnp.float32), (1, p))
+        if in_affine
+        else jnp.zeros((4, pc), jnp.float32)
+    )
+    comb_p = (
+        jnp.tile(comb.astype(jnp.float32), (1, p))
+        if combine
+        else jnp.zeros((6, pf), jnp.float32)
+    )
+
+    tile_h = _pick_tile_h_bwd3(h, wp, pc, pf, combine)
+    n_tiles = h // tile_h
+    kernel = functools.partial(
+        _bwd_train_kernel,
+        tile_h=tile_h,
+        n_tiles=n_tiles,
+        c=c,
+        in_affine=in_affine,
+        combine=combine,
+        mask_combine=mask_combine,
+    )
+    ybuf_shape = (2, tile_h + 2, wp, pf) if combine else (2, 1, 1, pf)
+    dx_p, ddw_p, dpw_p, st_p = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((16, pc), lambda bi: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((pc, pf), lambda bi: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, pc), lambda bi: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, wp, pc), x.dtype),
+            jax.ShapeDtypeStruct((16, pc), jnp.float32),
+            jax.ShapeDtypeStruct((pc, pf), jnp.float32),
+            jax.ShapeDtypeStruct((8, pc), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_h + 2, wp, pc), x.dtype),
+            pltpu.VMEM((2, tile_h + 2, wp, pf), g.dtype),
+            pltpu.VMEM(ybuf_shape, g.dtype),
+            pltpu.VMEM((2, tile_h, wp, pc), x.dtype),
+            pltpu.VMEM((16, pc), jnp.float32),
+            pltpu.VMEM((pc, pf), jnp.float32),
+            pltpu.VMEM((8, pc), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 9)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=b * h * w * (4 * c * f + 27 * c),
+            bytes_accessed=(x.size * 2 + g.size * (2 if combine else 1))
+            * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=_use_interpret(),
+    )(xp, gp, yp, in_aff_p, comb_p, dwk_p, pwt)
+
+    dx = dx_p.reshape(b, h, w, c)
+    ddw = ddw_p[:9].reshape(3, 3, p, c).sum(axis=2)
+    dpw = sum(
+        dpw_p[r * c : (r + 1) * c, r * f : (r + 1) * f] for r in range(p)
+    )
+    st = st_p[:2].reshape(2, p, c).sum(axis=1)  # (2, C)
+    return dx, ddw, dpw, st
+
+
+# ---------------------------------------------------------------------------
+# Chain orchestration (custom VJP) + composed-XLA reference
+# ---------------------------------------------------------------------------
+
+
+def _affine_from_stats(gamma, beta, mean, var, eps):
+    a = (gamma * jax.lax.rsqrt(var + eps)).astype(jnp.float32)
+    b = (beta - mean * a).astype(jnp.float32)
+    return a, b
+
+
+def _moments(s, q, n, axis_name):
+    mean = s / n
+    sq = q / n
+    if axis_name is not None:
+        mean = jax.lax.pmean(mean, axis_name)
+        sq = jax.lax.pmean(sq, axis_name)
+    return mean, sq - jnp.square(mean)
+
+
+def _sepconv_raw(x, dwk, pww):
+    """Composed-XLA sepconv with the kernels in kernel-native (3,3,C)/(C,F)."""
+    y = conv_ops.depthwise_conv2d(x, dwk[..., None])
+    return jnp.einsum(
+        "bhwc,cf->bhwf", y, pww.astype(y.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+
+
+def chain_reference(z_in, params, eps=1e-3, axis_name=None):
+    """Composed-XLA chain with identical semantics: for each block,
+    sepconv -> batch moments (of the output-dtype-cast activations) ->
+    normalize -> ReLU; returns (z_out, [(mean, var)] per block)."""
+    z = z_in
+    stats = []
+    n_local = z.shape[0] * z.shape[1] * z.shape[2]
+    n = n_local * (
+        jax.lax.psum(1, axis_name) if axis_name is not None else 1
+    )
+    for (dwk, pww, gamma, beta) in params:
+        c = z.shape[-1]
+        dwk = dwk.reshape(3, 3, c)
+        pww = pww.reshape(c, pww.shape[-1])
+        y = _sepconv_raw(z, dwk, pww)
+        yf = y.astype(jnp.float32)
+        s = jnp.sum(yf, axis=(0, 1, 2))
+        q = jnp.sum(yf * yf, axis=(0, 1, 2))
+        if axis_name is not None:
+            s = jax.lax.psum(s, axis_name)
+            q = jax.lax.psum(q, axis_name)
+        mean = s / n
+        var = q / n - jnp.square(mean)
+        stats.append((mean, var))
+        a, b = _affine_from_stats(gamma, beta, mean, var, eps)
+        z = jnp.maximum(yf * a + b, 0.0).astype(z_in.dtype)
+    return z, stats
+
+
+def _flatten_params(blocks):
+    out = []
+    for blk in blocks:
+        out.extend(blk)
+    return tuple(out)
+
+
+def _unflatten_params(flat):
+    return tuple(
+        tuple(flat[i : i + 4]) for i in range(0, len(flat), 4)
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _chain_core(n_blocks, eps, axis_name, z_in, *flat_params):
+    """Returns (z_out, ((mean, var), ...) per block)."""
+    outputs, _ = _chain_fwd_impl(n_blocks, eps, axis_name, z_in, flat_params)
+    return outputs
+
+
+def _chain_fwd_impl(n_blocks, eps, axis_name, z_in, flat_params):
+    """Returns ((z_out, mean/var per block), residuals)."""
+    blocks = _unflatten_params(flat_params)
+    n_local = z_in.shape[0] * z_in.shape[1] * z_in.shape[2]
+    n = n_local * (
+        jax.lax.psum(1, axis_name) if axis_name is not None else 1
+    )
+    z_or_y = z_in          # raw input (z-space) for the first block
+    in_aff = None          # (a, b) pending affine for the next conv
+    ys = []                # raw outputs per block
+    stats = []             # (mean, var) per block
+    for (dwk, pww, gamma, beta) in blocks:
+        fused = _fwd_train_pallas(
+            z_or_y,
+            dwk,
+            pww,
+            in_aff[0] if in_aff is not None else None,
+            in_aff[1] if in_aff is not None else None,
+        )
+        if fused is None:
+            z = z_or_y
+            if in_aff is not None:
+                z = jnp.maximum(
+                    z_or_y.astype(jnp.float32) * in_aff[0] + in_aff[1], 0.0
+                ).astype(z_or_y.dtype)
+            y = _sepconv_raw(z, dwk, pww)
+            yf = y.astype(jnp.float32)
+            s = jnp.sum(yf, axis=(0, 1, 2))
+            q = jnp.sum(yf * yf, axis=(0, 1, 2))
+        else:
+            y, s, q = fused
+        if axis_name is not None:
+            s = jax.lax.psum(s, axis_name)
+            q = jax.lax.psum(q, axis_name)
+        mean = s / n
+        var = q / n - jnp.square(mean)
+        stats.append((mean, var))
+        ys.append(y)
+        in_aff = _affine_from_stats(gamma, beta, mean, var, eps)
+        z_or_y = y
+    # boundary: materialize the final activation
+    y_last = ys[-1]
+    z_out = jnp.maximum(
+        y_last.astype(jnp.float32) * in_aff[0] + in_aff[1], 0.0
+    ).astype(z_in.dtype)
+    outputs = (z_out, tuple(stats))
+    residuals = (z_in, tuple(ys), tuple(stats), flat_params, n)
+    return outputs, residuals
+
+
+def _chain_fwd(n_blocks, eps, axis_name, z_in, *flat_params):
+    outputs, residuals = _chain_fwd_impl(
+        n_blocks, eps, axis_name, z_in, flat_params
+    )
+    return outputs, residuals
+
+
+def _chain_bwd(n_blocks, eps, axis_name, residuals, cotangents):
+    z_in, ys, stats, flat_params, n = residuals
+    g_zout, stats_cot = cotangents
+    blocks = _unflatten_params(flat_params)
+    grads_per_block = [None] * n_blocks
+
+    def psum_if(v):
+        return jax.lax.psum(v, axis_name) if axis_name is not None else v
+
+    # --- boundary: reductions of the masked output gradient (XLA pass;
+    # fuses into one read of (g_zout, y_last)) ---
+    k = n_blocks - 1
+    _, _, gamma, beta = blocks[k]
+    mean, var = stats[k]
+    r = jax.lax.rsqrt(var + eps)
+    a_out = (gamma * r).astype(jnp.float32)
+    b_out = (beta - mean * a_out).astype(jnp.float32)
+    yk = ys[k].astype(jnp.float32)
+    gz = g_zout.astype(jnp.float32)
+    dzt = jnp.where((yk * a_out + b_out) > 0, gz, 0.0)
+    S = psum_if(jnp.sum(dzt, axis=(0, 1, 2)))
+    T = psum_if(jnp.sum(dzt * ((yk - mean) * r), axis=(0, 1, 2)))
+
+    g_raw = g_zout        # raw grad stream for the current block
+    g_is_masked = False   # whether g_raw already has the ReLU mask applied
+    dz_in = None
+    for k in range(n_blocks - 1, -1, -1):
+        dwk, pww, gamma, beta = blocks[k]
+        mean, var = stats[k]
+        g_m, g_v = stats_cot[k]  # usually symbolic zeros (running stats)
+        r = jax.lax.rsqrt(var + eps)
+        a_out = gamma * r
+        b_out = beta - mean * a_out
+        # BN backward combine constants, exact incl. the mean/var output
+        # cotangents: gy = A*(masked g) + B + (y - mean)*C
+        A = a_out
+        B = -(a_out * S) / n + g_m / n
+        C = -(a_out * r * T) / n + 2.0 * g_v / n
+        dgamma = T
+        dbeta = S
+
+        x_in = z_in if k == 0 else ys[k - 1]
+        if k > 0:
+            pm, pv = stats[k - 1]
+            p_gamma = blocks[k - 1][2]
+            p_beta = blocks[k - 1][3]
+            pr = jax.lax.rsqrt(pv + eps)
+            in_a = p_gamma * pr
+            in_b = p_beta - pm * in_a
+            in_aff = jnp.stack(
+                [
+                    in_a.astype(jnp.float32),
+                    in_b.astype(jnp.float32),
+                    pm.astype(jnp.float32),
+                    pr.astype(jnp.float32),
+                ]
+            )
+        else:
+            in_aff = None
+        comb = jnp.stack(
+            [
+                A.astype(jnp.float32),
+                B.astype(jnp.float32),
+                C.astype(jnp.float32),
+                mean.astype(jnp.float32),
+                a_out.astype(jnp.float32),
+                b_out.astype(jnp.float32),
+            ]
+        )
+
+        fused = _bwd_train_pallas(
+            x_in,
+            g_raw.astype(x_in.dtype),
+            ys[k].astype(x_in.dtype),
+            dwk,
+            pww,
+            in_aff,
+            comb,
+            mask_combine=not g_is_masked,
+        )
+        if fused is None:
+            # composed-XLA fallback for this link (identical math)
+            gf = g_raw.astype(jnp.float32)
+            ykf = ys[k].astype(jnp.float32)
+            if not g_is_masked:
+                gf = jnp.where((ykf * a_out + b_out) > 0, gf, 0.0)
+            gy = (gf * A + B + (ykf - mean) * C).astype(x_in.dtype)
+            if in_aff is not None:
+                zf = jnp.maximum(
+                    x_in.astype(jnp.float32) * in_aff[0] + in_aff[1], 0.0
+                ).astype(x_in.dtype)
+            else:
+                zf = x_in
+
+            _, vjp = jax.vjp(_sepconv_raw, zf, dwk, pww)
+            dz, ddw, dpw = vjp(gy)
+            if in_aff is not None:
+                w_in = x_in.astype(jnp.float32) * in_aff[0] + in_aff[1]
+                dzt_prev = jnp.where(w_in > 0, dz.astype(jnp.float32), 0.0)
+                xhat = (x_in.astype(jnp.float32) - in_aff[2]) * in_aff[3]
+                S_prev = psum_if(jnp.sum(dzt_prev, axis=(0, 1, 2)))
+                T_prev = psum_if(jnp.sum(dzt_prev * xhat, axis=(0, 1, 2)))
+                dx = dzt_prev.astype(x_in.dtype)
+            else:
+                S_prev = T_prev = None
+                dx = dz.astype(x_in.dtype)
+        else:
+            dx, ddw, dpw, st = fused
+            if in_aff is not None:
+                S_prev = psum_if(st[0])
+                T_prev = psum_if(st[1])
+            else:
+                S_prev = T_prev = None
+        grads_per_block[k] = (
+            ddw.astype(dwk.dtype),
+            dpw.astype(pww.dtype),
+            dgamma.astype(gamma.dtype),
+            dbeta.astype(beta.dtype),
+        )
+        if k > 0:
+            S, T = S_prev, T_prev
+            g_raw = dx            # already ReLU-masked by the kernel
+            g_is_masked = True
+        else:
+            dz_in = dx
+
+    flat_grads = _flatten_params(grads_per_block)
+    return (dz_in, *flat_grads)
+
+
+_chain_core.defvjp(_chain_fwd, _chain_bwd)
+
+
+def fused_chain_train(
+    z_in: jax.Array,
+    blocks: Sequence[Tuple[jax.Array, jax.Array, jax.Array, jax.Array]],
+    eps: float = 1e-3,
+    axis_name: Optional[str] = None,
+):
+    """Train-mode ConvBlock chain: z_in -> [sepconv -> BN -> ReLU] x N.
+
+    ``blocks``: per block ``(depthwise (3,3,C,1) or (3,3,C), pointwise
+    (1,1,C,F) or (C,F), bn_scale (F,), bn_offset (F,))``.  Returns
+    ``(z_out, ((batch_mean, batch_var), ...))`` — the moments feed the
+    running-stat updates.  Differentiable via the fused Pallas backward;
+    per-block XLA fallback when no lane packing fits (e.g. 3-channel
+    input).  Rebuilds the reference conv_block chain semantics
+    (reference model/u_net.py:5-26, Keras BN eps 1e-3, biased variance).
+    """
+    prepped = []
+    c = z_in.shape[-1]
+    for (dw, pw, gamma, beta) in blocks:
+        f = pw.shape[-1]
+        prepped.append(
+            (
+                dw.reshape(3, 3, c).astype(z_in.dtype),
+                pw.reshape(c, f).astype(z_in.dtype),
+                gamma,
+                beta,
+            )
+        )
+        c = f
+    flat = _flatten_params(prepped)
+    return _chain_core(len(prepped), eps, axis_name, z_in, *flat)
