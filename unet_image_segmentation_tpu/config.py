@@ -101,10 +101,14 @@ class TrainConfig:
     # train steps into this directory (TensorBoard-compatible).
     profile_dir: Optional[str] = None
     profile_steps: int = 5
-    # JAX PRNG implementation for dropout masks (None = jax default
-    # threefry2x32; 'rbg' is measurably faster on TPU with different —
-    # still valid — random streams). Applied globally by fit() when set.
-    rng_impl: Optional[str] = None
+    # JAX PRNG implementation for dropout masks. 'rbg' is the default:
+    # threefry2x32 mask generation alone costs ~6 ms/step at 256px/b32 on
+    # v5e (profiled: the dec2/dec3 dropout select fusions) while rbg is
+    # hardware-accelerated; dropout only needs i.i.d. Bernoulli masks, so
+    # the stream change is statistically immaterial. Set to None for the
+    # jax default (threefry) or 'threefry2x32' explicitly. Applied
+    # globally by fit() when set.
+    rng_impl: Optional[str] = "rbg"
 
 
 @dataclass

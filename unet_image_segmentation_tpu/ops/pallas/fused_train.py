@@ -210,27 +210,42 @@ def _fwd_train_kernel(
         sq_ref[...] = sq_ref[...] + q_acc[...]
 
 
-def _fwd_train_pallas(
-    x: jax.Array,
+def _chain_common_pack(channels: Sequence[int], w: int) -> Optional[int]:
+    """Smallest pack factor aligning EVERY channel count in the chain.
+
+    A chain-wide p lets consecutive kernels exchange packed (B, H, W/p,
+    p*C) tensors directly — no per-block pack/unpack reshapes, which under
+    TPU tiled layouts are physical copies whenever C < 128 (the lane tile
+    pads 64-channel tensors 2x, so the reshape is never a bitcast).
+    """
+    for p in (1, 2, 4, 8, 16):
+        if w % p:
+            continue
+        if all((p * c) % fs.LANE == 0 for c in channels):
+            return p
+    return None
+
+
+def _fwd_train_packed(
+    xp: jax.Array,      # (B, H, Wp, pC) already packed
     dwk: jax.Array,     # (3, 3, C)
     pww: jax.Array,     # (C, F)
-    in_scale: Optional[jax.Array],  # (C,) or None
-    in_shift: Optional[jax.Array],  # (C,) or None
-) -> Optional[Tuple[jax.Array, jax.Array, jax.Array]]:
-    """(y, sum, sumsq) with optional fused input affine+ReLU; None = no fit."""
-    b, h, w, c = x.shape
+    in_scale: Optional[jax.Array],
+    in_shift: Optional[jax.Array],
+    p: int,
+    c: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(y_packed, sum, sumsq); operands packed with a caller-chosen p."""
+    b, h, wp, pc = xp.shape
     f = pww.shape[1]
-    p = fs._pick_pack(c, f, w)
-    if p is None:
-        return None
+    w = wp * p
     in_affine = in_scale is not None
-    xp = x.reshape(b, h, w // p, p * c)
     if p > 1:
         dwk_p = jnp.tile(dwk, (1, 1, p))
         pww_p = jnp.kron(jnp.eye(p, dtype=pww.dtype), pww)
     else:
         dwk_p, pww_p = dwk, pww
-    wp, pc, pf = w // p, p * c, p * f
+    pf = p * f
     if in_affine:
         aff = jnp.stack(
             [jnp.tile(in_scale.astype(jnp.float32), p),
@@ -263,13 +278,13 @@ def _fwd_train_pallas(
             pl.BlockSpec((8, pf), lambda bi: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, h, wp, pf), x.dtype),
+            jax.ShapeDtypeStruct((b, h, wp, pf), xp.dtype),
             jax.ShapeDtypeStruct((8, pf), jnp.float32),
             jax.ShapeDtypeStruct((8, pf), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, tile_h + 2, wp, pc), x.dtype),
-            pltpu.VMEM((2, tile_h, wp, pf), x.dtype),
+            pltpu.VMEM((2, tile_h + 2, wp, pc), xp.dtype),
+            pltpu.VMEM((2, tile_h, wp, pf), xp.dtype),
             pltpu.VMEM((8, pf), jnp.float32),
             pltpu.VMEM((8, pf), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
@@ -277,15 +292,32 @@ def _fwd_train_pallas(
         ],
         cost_estimate=pl.CostEstimate(
             flops=b * h * w * (9 * c + 2 * c * f),
-            bytes_accessed=(b * h * w * (c + f)) * x.dtype.itemsize,
+            bytes_accessed=(b * h * w * (c + f)) * xp.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=_use_interpret(),
     )(xp, aff, dwk_p, pww_p)
-    y = y_p.reshape(b, h, w, f)
     s = s_p[0].reshape(p, f).sum(axis=0)
     q = q_p[0].reshape(p, f).sum(axis=0)
-    return y, s, q
+    return y_p, s, q
+
+
+def _fwd_train_pallas(
+    x: jax.Array,
+    dwk: jax.Array,     # (3, 3, C)
+    pww: jax.Array,     # (C, F)
+    in_scale: Optional[jax.Array],  # (C,) or None
+    in_shift: Optional[jax.Array],  # (C,) or None
+) -> Optional[Tuple[jax.Array, jax.Array, jax.Array]]:
+    """(y, sum, sumsq) with optional fused input affine+ReLU; None = no fit."""
+    b, h, w, c = x.shape
+    f = pww.shape[1]
+    p = fs._pick_pack(c, f, w)
+    if p is None:
+        return None
+    xp = x.reshape(b, h, w // p, p * c)
+    y_p, s, q = _fwd_train_packed(xp, dwk, pww, in_scale, in_shift, p, c)
+    return y_p.reshape(b, h, w, f), s, q
 
 
 # ---------------------------------------------------------------------------
@@ -600,34 +632,33 @@ def _pick_tile_h_bwd3(h: int, wp: int, pc: int, pf: int, combine: bool) -> int:
     return 1
 
 
-def _bwd_train_pallas(
-    x: jax.Array,
-    g: jax.Array,
-    y: Optional[jax.Array],
-    dwk: jax.Array,
-    pww: jax.Array,
+def _bwd_train_packed(
+    xp: jax.Array,      # (B, H, Wp, pC) packed
+    gp: jax.Array,      # (B, H, Wp, pF) packed
+    yp: Optional[jax.Array],
+    dwk: jax.Array,     # (3, 3, C)
+    pww: jax.Array,     # (C, F)
     in_aff: Optional[jnp.ndarray],   # (4, C) or None
     comb: Optional[jnp.ndarray],     # (6, F) or None
     mask_combine: bool,
-) -> Optional[Tuple[jax.Array, jax.Array, jax.Array, jax.Array]]:
-    """Returns (dx, ddw, dpw, stat_sums (2, C)) or None when no packing fits."""
-    b, h, w, c = x.shape
+    p: int,
+    c: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """(dx_packed, ddw, dpw, stat_sums (2, C)); packed operands, chosen p."""
+    b, h, wp, pc = xp.shape
     f = pww.shape[1]
-    p = fs._pick_pack(c, f, w)
-    if p is None:
-        return None
+    w = wp * p
     in_affine = in_aff is not None
     combine = comb is not None
-    wp, pc, pf = w // p, p * c, p * f
-    xp = x.reshape(b, h, wp, pc)
-    gp = g.reshape(b, h, wp, pf)
-    yp = y.reshape(b, h, wp, pf) if combine else gp  # dummy alias when unused
+    pf = p * f
+    if yp is None:
+        yp = gp  # dummy alias when unused
     if p > 1:
         dwk_p = jnp.tile(dwk, (1, 1, p))
         pww_p = jnp.kron(jnp.eye(p, dtype=pww.dtype), pww)
     else:
         dwk_p, pww_p = dwk, pww
-    pwt = pww_p.T.astype(g.dtype)
+    pwt = pww_p.T.astype(gp.dtype)
 
     in_aff_p = (
         jnp.tile(in_aff.astype(jnp.float32), (1, p))
@@ -671,16 +702,16 @@ def _bwd_train_pallas(
             pl.BlockSpec((8, pc), lambda bi: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, h, wp, pc), x.dtype),
+            jax.ShapeDtypeStruct((b, h, wp, pc), xp.dtype),
             jax.ShapeDtypeStruct((16, pc), jnp.float32),
             jax.ShapeDtypeStruct((pc, pf), jnp.float32),
             jax.ShapeDtypeStruct((8, pc), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, tile_h + 2, wp, pc), x.dtype),
-            pltpu.VMEM((2, tile_h + 2, wp, pf), g.dtype),
-            pltpu.VMEM(ybuf_shape, g.dtype),
-            pltpu.VMEM((2, tile_h, wp, pc), x.dtype),
+            pltpu.VMEM((2, tile_h + 2, wp, pc), xp.dtype),
+            pltpu.VMEM((2, tile_h + 2, wp, pf), gp.dtype),
+            pltpu.VMEM(ybuf_shape, gp.dtype),
+            pltpu.VMEM((2, tile_h, wp, pc), xp.dtype),
             pltpu.VMEM((16, pc), jnp.float32),
             pltpu.VMEM((pc, pf), jnp.float32),
             pltpu.VMEM((8, pc), jnp.float32),
@@ -689,20 +720,45 @@ def _bwd_train_pallas(
         ],
         cost_estimate=pl.CostEstimate(
             flops=b * h * w * (4 * c * f + 27 * c),
-            bytes_accessed=(x.size * 2 + g.size * (2 if combine else 1))
-            * x.dtype.itemsize,
+            bytes_accessed=(xp.size * 2 + gp.size * (2 if combine else 1))
+            * xp.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=_use_interpret(),
     )(xp, gp, yp, in_aff_p, comb_p, dwk_p, pwt)
 
-    dx = dx_p.reshape(b, h, w, c)
     ddw = ddw_p[:9].reshape(3, 3, p, c).sum(axis=2)
     dpw = sum(
         dpw_p[r * c : (r + 1) * c, r * f : (r + 1) * f] for r in range(p)
     )
     st = st_p[:2].reshape(2, p, c).sum(axis=1)  # (2, C)
-    return dx, ddw, dpw, st
+    return dx_p, ddw, dpw, st
+
+
+def _bwd_train_pallas(
+    x: jax.Array,
+    g: jax.Array,
+    y: Optional[jax.Array],
+    dwk: jax.Array,
+    pww: jax.Array,
+    in_aff: Optional[jnp.ndarray],   # (4, C) or None
+    comb: Optional[jnp.ndarray],     # (6, F) or None
+    mask_combine: bool,
+) -> Optional[Tuple[jax.Array, jax.Array, jax.Array, jax.Array]]:
+    """Returns (dx, ddw, dpw, stat_sums (2, C)) or None when no packing fits."""
+    b, h, w, c = x.shape
+    f = pww.shape[1]
+    p = fs._pick_pack(c, f, w)
+    if p is None:
+        return None
+    wp, pc, pf = w // p, p * c, p * f
+    xp = x.reshape(b, h, wp, pc)
+    gp = g.reshape(b, h, wp, pf)
+    yp = y.reshape(b, h, wp, pf) if comb is not None else None
+    dx_p, ddw, dpw, st = _bwd_train_packed(
+        xp, gp, yp, dwk, pww, in_aff, comb, mask_combine, p, c
+    )
+    return dx_p.reshape(b, h, w, c), ddw, dpw, st
 
 
 # ---------------------------------------------------------------------------
@@ -783,37 +839,71 @@ def _chain_core(n_blocks, eps, axis_name, z_in, *flat_params):
     return outputs
 
 
+def _chain_channels(z_in, blocks):
+    chans = [z_in.shape[-1]]
+    for (_, pww, _, _) in blocks:
+        chans.append(pww.shape[1])
+    return chans
+
+
 def _chain_fwd_impl(n_blocks, eps, axis_name, z_in, flat_params):
-    """Returns ((z_out, mean/var per block), residuals)."""
+    """Returns ((z_out, mean/var per block), residuals).
+
+    When one pack factor aligns every channel count in the chain, the
+    blocks exchange PACKED (B, H, W/p, p*C) tensors directly — kernel to
+    kernel, zero reshapes — and the residuals are saved packed so the
+    backward kernels stream them as-is.  ``residuals[-1]`` records p
+    (1 == unpacked path, e.g. the 3-channel first stage).
+    """
     blocks = _unflatten_params(flat_params)
-    n_local = z_in.shape[0] * z_in.shape[1] * z_in.shape[2]
+    b, h, w, _ = z_in.shape
+    n_local = b * h * w
     n = n_local * (
         jax.lax.psum(1, axis_name) if axis_name is not None else 1
     )
-    z_or_y = z_in          # raw input (z-space) for the first block
+    p = _chain_common_pack(_chain_channels(z_in, blocks), w) or 1
+    if p > 1:
+        z_first = z_in.reshape(b, h, w // p, p * z_in.shape[-1])
+    else:
+        z_first = z_in
+
+    z_or_y = z_first       # raw input (z-space) for the first block
     in_aff = None          # (a, b) pending affine for the next conv
-    ys = []                # raw outputs per block
+    ys = []                # raw outputs per block (packed iff p > 1)
     stats = []             # (mean, var) per block
     for (dwk, pww, gamma, beta) in blocks:
-        fused = _fwd_train_pallas(
-            z_or_y,
-            dwk,
-            pww,
-            in_aff[0] if in_aff is not None else None,
-            in_aff[1] if in_aff is not None else None,
-        )
-        if fused is None:
-            z = z_or_y
-            if in_aff is not None:
-                z = jnp.maximum(
-                    z_or_y.astype(jnp.float32) * in_aff[0] + in_aff[1], 0.0
-                ).astype(z_or_y.dtype)
-            y = _sepconv_raw(z, dwk, pww)
-            yf = y.astype(jnp.float32)
-            s = jnp.sum(yf, axis=(0, 1, 2))
-            q = jnp.sum(yf * yf, axis=(0, 1, 2))
+        c = dwk.shape[2]
+        if p > 1:
+            y, s, q = _fwd_train_packed(
+                z_or_y,
+                dwk,
+                pww,
+                in_aff[0] if in_aff is not None else None,
+                in_aff[1] if in_aff is not None else None,
+                p,
+                c,
+            )
         else:
-            y, s, q = fused
+            fused = _fwd_train_pallas(
+                z_or_y,
+                dwk,
+                pww,
+                in_aff[0] if in_aff is not None else None,
+                in_aff[1] if in_aff is not None else None,
+            )
+            if fused is None:
+                z = z_or_y
+                if in_aff is not None:
+                    z = jnp.maximum(
+                        z_or_y.astype(jnp.float32) * in_aff[0] + in_aff[1],
+                        0.0,
+                    ).astype(z_or_y.dtype)
+                y = _sepconv_raw(z, dwk, pww)
+                yf = y.astype(jnp.float32)
+                s = jnp.sum(yf, axis=(0, 1, 2))
+                q = jnp.sum(yf * yf, axis=(0, 1, 2))
+            else:
+                y, s, q = fused
         if axis_name is not None:
             s = jax.lax.psum(s, axis_name)
             q = jax.lax.psum(q, axis_name)
@@ -823,13 +913,21 @@ def _chain_fwd_impl(n_blocks, eps, axis_name, z_in, flat_params):
         ys.append(y)
         in_aff = _affine_from_stats(gamma, beta, mean, var, eps)
         z_or_y = y
-    # boundary: materialize the final activation
+    # boundary: materialize the final activation (elementwise on the
+    # packed form — params tiled — then one unpack reshape)
     y_last = ys[-1]
+    f_last = blocks[-1][1].shape[1]
+    a_last, b_last = in_aff
+    if p > 1:
+        a_last = jnp.tile(a_last, p)
+        b_last = jnp.tile(b_last, p)
     z_out = jnp.maximum(
-        y_last.astype(jnp.float32) * in_aff[0] + in_aff[1], 0.0
+        y_last.astype(jnp.float32) * a_last + b_last, 0.0
     ).astype(z_in.dtype)
+    if p > 1:
+        z_out = z_out.reshape(b, h, w, f_last)
     outputs = (z_out, tuple(stats))
-    residuals = (z_in, tuple(ys), tuple(stats), flat_params, n)
+    residuals = (z_first, tuple(ys), tuple(stats), flat_params, n, p)
     return outputs, residuals
 
 
@@ -841,7 +939,7 @@ def _chain_fwd(n_blocks, eps, axis_name, z_in, *flat_params):
 
 
 def _chain_bwd(n_blocks, eps, axis_name, residuals, cotangents):
-    z_in, ys, stats, flat_params, n = residuals
+    z_first, ys, stats, flat_params, n, p = residuals
     g_zout, stats_cot = cotangents
     blocks = _unflatten_params(flat_params)
     grads_per_block = [None] * n_blocks
@@ -849,19 +947,36 @@ def _chain_bwd(n_blocks, eps, axis_name, residuals, cotangents):
     def psum_if(v):
         return jax.lax.psum(v, axis_name) if axis_name is not None else v
 
+    def tile_p(v):
+        return jnp.tile(v, p) if p > 1 else v
+
+    def group_sum(v, f):
+        return v.reshape(p, f).sum(axis=0) if p > 1 else v
+
     # --- boundary: reductions of the masked output gradient (XLA pass;
-    # fuses into one read of (g_zout, y_last)) ---
+    # fuses into one read of (g_zout, y_last), on the packed forms) ---
     k = n_blocks - 1
-    _, _, gamma, beta = blocks[k]
+    _, pww_last, gamma, beta = blocks[k]
+    f_last = pww_last.shape[1]
     mean, var = stats[k]
     r = jax.lax.rsqrt(var + eps)
     a_out = (gamma * r).astype(jnp.float32)
     b_out = (beta - mean * a_out).astype(jnp.float32)
+    if p > 1:
+        bsz, h, w, _ = g_zout.shape
+        g_zout = g_zout.reshape(bsz, h, w // p, p * f_last)
     yk = ys[k].astype(jnp.float32)
     gz = g_zout.astype(jnp.float32)
-    dzt = jnp.where((yk * a_out + b_out) > 0, gz, 0.0)
-    S = psum_if(jnp.sum(dzt, axis=(0, 1, 2)))
-    T = psum_if(jnp.sum(dzt * ((yk - mean) * r), axis=(0, 1, 2)))
+    dzt = jnp.where((yk * tile_p(a_out) + tile_p(b_out)) > 0, gz, 0.0)
+    S = psum_if(group_sum(jnp.sum(dzt, axis=(0, 1, 2)), f_last))
+    T = psum_if(
+        group_sum(
+            jnp.sum(
+                dzt * ((yk - tile_p(mean)) * tile_p(r)), axis=(0, 1, 2)
+            ),
+            f_last,
+        )
+    )
 
     g_raw = g_zout        # raw grad stream for the current block
     g_is_masked = False   # whether g_raw already has the ReLU mask applied
@@ -881,7 +996,7 @@ def _chain_bwd(n_blocks, eps, axis_name, residuals, cotangents):
         dgamma = T
         dbeta = S
 
-        x_in = z_in if k == 0 else ys[k - 1]
+        x_in = z_first if k == 0 else ys[k - 1]
         if k > 0:
             pm, pv = stats[k - 1]
             p_gamma = blocks[k - 1][2]
@@ -910,16 +1025,30 @@ def _chain_bwd(n_blocks, eps, axis_name, residuals, cotangents):
             ]
         )
 
-        fused = _bwd_train_pallas(
-            x_in,
-            g_raw.astype(x_in.dtype),
-            ys[k].astype(x_in.dtype),
-            dwk,
-            pww,
-            in_aff,
-            comb,
-            mask_combine=not g_is_masked,
-        )
+        if p > 1:
+            fused = _bwd_train_packed(
+                x_in,
+                g_raw.astype(x_in.dtype),
+                ys[k].astype(x_in.dtype),
+                dwk,
+                pww,
+                in_aff,
+                comb,
+                mask_combine=not g_is_masked,
+                p=p,
+                c=dwk.shape[2],
+            )
+        else:
+            fused = _bwd_train_pallas(
+                x_in,
+                g_raw.astype(x_in.dtype),
+                ys[k].astype(x_in.dtype),
+                dwk,
+                pww,
+                in_aff,
+                comb,
+                mask_combine=not g_is_masked,
+            )
         if fused is None:
             # composed-XLA fallback for this link (identical math)
             gf = g_raw.astype(jnp.float32)
@@ -966,6 +1095,9 @@ def _chain_bwd(n_blocks, eps, axis_name, residuals, cotangents):
         else:
             dz_in = dx
 
+    if p > 1:  # unpack the chain-input gradient once at the boundary
+        bsz, h, wp, pc = dz_in.shape
+        dz_in = dz_in.reshape(bsz, h, wp * p, pc // p)
     flat_grads = _flatten_params(grads_per_block)
     return (dz_in, *flat_grads)
 
