@@ -274,7 +274,7 @@ def _pick_tile_h_bwd(h: int, wp: int, pc: int, pf: int) -> int:
     Resident: two x slabs + two g slabs (bf16) + two dx buffers, plus the
     fp32 dm/m/dx temporaries of the active tile and the accumulators.
     """
-    budget = 9 * 1024 * 1024
+    budget = fs.vmem_budget(9)
     slack = 1.4  # compiler temporaries
     per_slab_row = wp * 2 * (2 * pc + 2 * pf)    # 2-slot x + g, bf16
     per_body_row = wp * (2 * pc + 4 * pc + 4 * pc + 4 * pc)  # dxbuf + dm/m/dx
@@ -353,6 +353,7 @@ def sepconv_bwd_pallas(
             bytes_accessed=(x.size * 2 + g.size) * x.dtype.itemsize,
             transcendentals=0,
         ),
+        compiler_params=fs.vmem_params(),
         interpret=interpret,
     )(xp, gp, dwk_p, pwt)
 

@@ -254,7 +254,7 @@ def _fwd_train_packed(
         )
     else:
         aff = jnp.zeros((2, pc), jnp.float32)
-    tile_h = fs._pick_tile_h(h, wp, max(pc, pf), vmem_budget=6 * 1024 * 1024)
+    tile_h = fs._pick_tile_h(h, wp, max(pc, pf), vmem_budget=fs.vmem_budget(6))
     n_tiles = h // tile_h
     kernel = functools.partial(
         _fwd_train_kernel,
@@ -295,6 +295,7 @@ def _fwd_train_packed(
             bytes_accessed=(b * h * w * (c + f)) * xp.dtype.itemsize,
             transcendentals=0,
         ),
+        compiler_params=fs.vmem_params(),
         interpret=_use_interpret(),
     )(xp, aff, dwk_p, pww_p)
     s = s_p[0].reshape(p, f).sum(axis=0)
@@ -617,7 +618,7 @@ def _bwd_train_kernel(
 
 
 def _pick_tile_h_bwd3(h: int, wp: int, pc: int, pf: int, combine: bool) -> int:
-    budget = 9 * 1024 * 1024
+    budget = fs.vmem_budget(9)
     slack = 1.4
     n_slabs_pf = 2 + (2 if combine else 0)  # g (+ y) double-buffered
     per_slab_row = wp * 2 * (2 * pc + n_slabs_pf * pf)
@@ -724,6 +725,7 @@ def _bwd_train_packed(
             * xp.dtype.itemsize,
             transcendentals=0,
         ),
+        compiler_params=fs.vmem_params(),
         interpret=_use_interpret(),
     )(xp, gp, yp, in_aff_p, comb_p, dwk_p, pwt)
 
@@ -1121,6 +1123,35 @@ def fused_chain_train(
     input).  Rebuilds the reference conv_block chain semantics
     (reference model/u_net.py:5-26, Keras BN eps 1e-3, biased variance).
     """
+    # Narrow first-block inputs (the 3-channel image) defeat lane packing
+    # and drop the whole stage to the XLA fallback. Zero-padding the input
+    # channels up to the smallest count that packs is EXACT (zero channels
+    # contribute nothing; autodiff slices the pad's gradients) and lets
+    # the first stage run fused like every other.
+    c0 = z_in.shape[-1]
+    w = z_in.shape[2]
+    chans = [c0] + [pw.reshape(-1, pw.shape[-1]).shape[-1] for (_, pw, _, _) in blocks]
+    if _chain_common_pack(chans, w) is None:
+        # prefer larger pads: pack factor (and the p-fold pointwise-matmul
+        # redundancy of the block-diagonal kron) shrinks as 128/c_pad,
+        # while the padded input's extra HBM traffic stays ~0.1 ms.
+        for c_pad in (16, 32, 8, 4):
+            if c_pad > c0 and _chain_common_pack([c_pad] + chans[1:], w):
+                _, _, g0, b0 = blocks[0]
+                dw0 = blocks[0][0].reshape(3, 3, c0)
+                pw0 = blocks[0][1].reshape(c0, -1)
+                pad_c = c_pad - c0
+                blocks = [
+                    (
+                        jnp.pad(dw0, ((0, 0), (0, 0), (0, pad_c))),
+                        jnp.pad(pw0, ((0, pad_c), (0, 0))),
+                        g0,
+                        b0,
+                    )
+                ] + list(blocks[1:])
+                z_in = jnp.pad(z_in, ((0, 0), (0, 0), (0, 0), (0, pad_c)))
+                break
+
     prepped = []
     c = z_in.shape[-1]
     for (dw, pw, gamma, beta) in blocks:
