@@ -47,26 +47,30 @@ def _sync_scalar(x) -> float:
 
 
 def measure_hbm_peak_bw() -> float:
-    """Measured HBM copy bandwidth (GB/s): out = in + 1 on a 256MB array."""
+    """Measured HBM copy bandwidth (GB/s): out = in + 1 on a 1GB array.
+
+    The passes are chained INSIDE one jitted program (loop-carried, so XLA
+    cannot fuse them away) — per-dispatch overhead on a tunneled backend is
+    ~1.5 ms, which would dominate a ~0.6 ms op-at-a-time measurement and
+    under-report peak bandwidth several-fold.
+    """
     import jax
     import jax.numpy as jnp
 
-    x = jax.device_put(np.zeros((128, 1024, 1024), np.int8))  # 128 MB
+    x = jax.device_put(np.zeros((256 * 1024, 1024), np.float32))  # 1 GB
+    n = 20
 
     @jax.jit
-    def bump(x):
-        return x + jnp.int8(1)
+    def bumps(x):
+        return jax.lax.fori_loop(0, n, lambda i, v: v + jnp.float32(1), x)
 
-    y = bump(x)
-    y = bump(y)
-    _sync_scalar(y[0, 0, 0])
+    y = bumps(x)
+    _sync_scalar(y[0, 0, 0])  # warm compile
     t0 = time.perf_counter()
-    n = 20
-    for _ in range(n):
-        y = bump(y)
+    y = bumps(y)
     _sync_scalar(y[0, 0, 0])
     dt = (time.perf_counter() - t0) / n
-    return 2 * x.size / dt / 1e9  # read + write
+    return 2 * x.size / dt / 1e9  # read + write per pass
 
 
 def modeled_min_traffic_bytes(batch: int, hw: int, filters=(64, 128, 256, 512)) -> int:
@@ -128,8 +132,7 @@ def measure_train(batch_size: int, hw: int, compute_dtype: str, num_classes: int
         train__batch_size=batch_size,
         train__loss=loss,
     )
-    if cfg.train.rng_impl:  # same fast dropout RNG fit() uses
-        jax.config.update("jax_default_prng_impl", cfg.train.rng_impl)
+    # cfg.train.rng_impl rides in the state's typed key (state.make_root_key)
     model = build_unet(cfg.model)
     state = create_train_state(cfg)
     train_step = make_train_step(model, cfg.train.loss, donate=True)

@@ -131,7 +131,10 @@ def test_dp_train_step_matches_single_device(rng_np):
     l1 = jax.tree_util.tree_leaves(new1.params)
     l2 = jax.tree_util.tree_leaves(new2.params)
     for a, b in zip(l1, l2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        # psum's reduction order differs from the single-device sum, and
+        # AdamW's rsqrt can amplify the reordering noise slightly; 1e-4 on
+        # O(0.1) params still pins the all-reduce as numerically equivalent.
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
 def test_sharded_pallas_fused_block_matches(rng_np):

@@ -177,3 +177,31 @@ def test_early_stopping_restores_best(workdir):
     assert cb.should_stop
     restored_leaf = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
     np.testing.assert_array_equal(restored_leaf, best_leaf)
+
+
+def test_rng_impl_rides_in_typed_key(workdir, tmp_path):
+    """cfg.train.rng_impl is honored via a typed key on the state — NOT by
+    mutating the process-global jax_default_prng_impl (which leaked into
+    unrelated code in the same process; round-2 regression)."""
+    default_impl = jax.config.jax_default_prng_impl
+    cfg = tiny_config(workdir, train__rng_impl="rbg")
+    state = create_train_state(cfg)
+    assert jax.numpy.issubdtype(state.rng.dtype, jax.dtypes.prng_key)
+    assert str(jax.random.key_impl(state.rng)) == "rbg"
+    assert jax.config.jax_default_prng_impl == default_impl
+
+    # the typed key survives a checkpoint roundtrip with its impl
+    model = build_unet(cfg.model)
+    step = make_train_step(model, donate=False)
+    rng = np.random.RandomState(0)
+    imgs = rng.rand(4, HW, HW, 3).astype(np.float32)
+    masks = (rng.rand(4, HW, HW, 1) > 0.5).astype(np.float32)
+    state2, _ = step(state, imgs, masks)
+    path = str(tmp_path / "ckpt_rng")
+    save_state(path, state2)
+    restored = restore_state(path, create_train_state(cfg))
+    assert str(jax.random.key_impl(restored.rng)) == "rbg"
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(restored.rng)),
+        np.asarray(jax.random.key_data(state2.rng)),
+    )

@@ -29,13 +29,22 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
+def _is_typed_key(x) -> bool:
+    return jax.numpy.issubdtype(getattr(x, "dtype", None), jax.dtypes.prng_key)
+
+
 def _state_tree(state) -> Dict[str, Any]:
+    # typed PRNG keys (extended dtype) serialize as their raw uint32 data;
+    # the impl is re-attached on restore from the template's key.
+    rng = state.rng
+    if _is_typed_key(rng):
+        rng = jax.random.key_data(rng)
     return {
         "step": state.step,
         "params": state.params,
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
-        "rng": state.rng,
+        "rng": rng,
     }
 
 
@@ -55,12 +64,17 @@ def restore_state(path: str, template_state):
     ckpt = _checkpointer()
     target = jax.device_get(_state_tree(template_state))
     tree = ckpt.restore(path, item=target)
+    rng = jax.numpy.asarray(tree["rng"])
+    if _is_typed_key(template_state.rng):
+        rng = jax.random.wrap_key_data(
+            rng, impl=jax.random.key_impl(template_state.rng)
+        )
     return template_state.replace(
         step=jax.numpy.asarray(tree["step"]),
         params=tree["params"],
         batch_stats=tree["batch_stats"],
         opt_state=tree["opt_state"],
-        rng=jax.numpy.asarray(tree["rng"]),
+        rng=rng,
     )
 
 

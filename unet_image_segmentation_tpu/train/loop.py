@@ -117,8 +117,9 @@ def fit(
     verbose: bool = True,
 ) -> FitResult:
     tcfg = cfg.train
-    if tcfg.rng_impl:
-        jax.config.update("jax_default_prng_impl", tcfg.rng_impl)
+    # tcfg.rng_impl is honored via typed keys (state.make_root_key) — no
+    # process-global jax_default_prng_impl mutation, which leaked into
+    # unrelated code in the same process.
     if train_ds is None or val_ds is None:
         train_ds, val_ds = make_loaders(cfg)
     if mesh is None:

@@ -56,13 +56,28 @@ def make_optimizer(learning_rate: float, weight_decay: float) -> optax.GradientT
     )
 
 
+def make_root_key(cfg: Config) -> jax.Array:
+    """Seeded root key honoring ``cfg.train.rng_impl``.
+
+    Uses a typed key (``jax.random.key``) so the PRNG implementation (e.g.
+    the fast non-cryptographic 'rbg' used for dropout masks) travels WITH
+    the key through fold_in/split, instead of leaking through the
+    process-global ``jax_default_prng_impl`` config — mutating that global
+    from ``fit()`` changed RNG behavior for unrelated code in the same
+    process.
+    """
+    if cfg.train.rng_impl:
+        return jax.random.key(cfg.train.seed, impl=cfg.train.rng_impl)
+    return jax.random.PRNGKey(cfg.train.seed)
+
+
 def create_train_state(
     cfg: Config,
     rng: Optional[jax.Array] = None,
     model: Optional[UNet] = None,
 ) -> TrainState:
     if rng is None:
-        rng = jax.random.PRNGKey(cfg.train.seed)
+        rng = make_root_key(cfg)
     if model is None:
         model = build_unet(cfg.model)
     params_rng, dropout_rng = jax.random.split(rng)
@@ -96,7 +111,7 @@ def state_from_variables(
         params=params,
         batch_stats=variables.get("batch_stats", {}),
         opt_state=tx.init(params),
-        rng=jax.random.PRNGKey(cfg.train.seed),
+        rng=make_root_key(cfg),
         tx=tx,
         apply_fn=model.apply,
     )
