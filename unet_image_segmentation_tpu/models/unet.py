@@ -80,6 +80,21 @@ class UNet(nn.Module):
             and self.conv_type == "separable"
         )
 
+        def _update_bn(stats, pvars_pair):
+            if self.is_initializing():
+                return
+            momentum = 0.99  # Keras BatchNormalization default
+            for (pm, pv), pvars in zip(stats, pvars_pair):
+                mean_var, var_var = pvars[4], pvars[5]
+                mean_var.value = momentum * mean_var.value + (1 - momentum) * pm
+                var_var.value = momentum * var_var.value + (1 - momentum) * pv
+
+        def chain_params(x_feats, feats, name1, name2):
+            b1, b2 = block(feats, name1), block(feats, name2)
+            p1 = b1(x, train, params_only=True, in_features=x_feats)
+            p2 = b2(x, train, params_only=True, in_features=feats)
+            return p1, p2
+
         def run_pair(x: jax.Array, feats: int, name1: str, name2: str) -> jax.Array:
             b1, b2 = block(feats, name1), block(feats, name2)
             if not use_chain:
@@ -96,29 +111,61 @@ class UNet(nn.Module):
                 eps=1e-3,
                 axis_name=self.bn_axis_name,
             )
-            if not self.is_initializing():
-                momentum = 0.99  # Keras BatchNormalization default
-                for (pm, pv), pvars in zip(stats, (p1, p2)):
-                    mean_var, var_var = pvars[4], pvars[5]
-                    mean_var.value = (
-                        momentum * mean_var.value + (1 - momentum) * pm
-                    )
-                    var_var.value = (
-                        momentum * var_var.value + (1 - momentum) * pv
-                    )
+            _update_bn(stats, (p1, p2))
             return z
 
         x = x.astype(self.dtype)
         skips = []
-        # --- Encoder ---
-        for i, f in enumerate(self.filters):
-            stage = i + 1
-            x = run_pair(x, f, f"enc{stage}_block1", f"enc{stage}_block2")
-            skips.append(x)
-            x = max_pool_2x2(x)
+        bneck = self.filters[-1] * 2
+        if use_chain:
+            # Packed encoder: each stage's chain fuses the boundary
+            # affine+ReLU with the 2x2 max pool and emits the pooled tensor
+            # already in the NEXT stage's packed layout — skips stay packed
+            # (one reshape where the decoder concatenates them), and no
+            # layout-conversion copies appear between stages.
+            from unet_image_segmentation_tpu.ops.pallas.fused_train import (
+                chain_pack_of,
+                fused_chain_train_pool,
+            )
+
+            w_cur = w
+            in_p = None
+            for i, f in enumerate(self.filters):
+                stage = i + 1
+                nxt = (
+                    self.filters[i + 1] if i + 1 < depth else bneck
+                )
+                p2 = chain_pack_of([f, nxt, nxt], w_cur // 2)
+                c_in = (
+                    x.shape[-1] if in_p in (None, 1) else x.shape[-1] // in_p
+                )
+                pp1, pp2 = chain_params(
+                    c_in, f, f"enc{stage}_block1", f"enc{stage}_block2"
+                )
+                z_p, p_skip, pooled, stats = fused_chain_train_pool(
+                    x.astype(self.dtype),
+                    [(pp[0], pp[1], pp[2], pp[3]) for pp in (pp1, pp2)],
+                    pool_to_pack=p2,
+                    in_packed=in_p,
+                    eps=1e-3,
+                    axis_name=self.bn_axis_name,
+                )
+                _update_bn(stats, (pp1, pp2))
+                skips.append((z_p, p_skip, (x.shape[0], h // (2**i), w_cur, f)))
+                x = pooled
+                in_p = p2
+                w_cur //= 2
+            if in_p and in_p > 1:  # bneck chain consumes packed input too
+                bsz = x.shape[0]
+                x = x.reshape(bsz, x.shape[1], x.shape[2] * in_p, x.shape[3] // in_p)
+        else:
+            for i, f in enumerate(self.filters):
+                stage = i + 1
+                x = run_pair(x, f, f"enc{stage}_block1", f"enc{stage}_block2")
+                skips.append(x)
+                x = max_pool_2x2(x)
 
         # --- Bottleneck ---
-        bneck = self.filters[-1] * 2
         x = run_pair(x, bneck, "bneck_block1", "bneck_block2")
         if self.dropout_rate > 0.0:
             x = nn.Dropout(
@@ -132,6 +179,11 @@ class UNet(nn.Module):
             stage = depth - i
             x = TransposeUp(features=f, dtype=self.dtype, name=f"dec{stage}_upsample")(x)
             skip = rev_skips[i]
+            if isinstance(skip, tuple):  # packed skip from the fused encoder
+                z_p, p_skip, (bsz, sh, sw, sf) = skip
+                skip = (
+                    z_p.reshape(bsz, sh, sw, sf) if p_skip > 1 else z_p
+                )
             has_dropout = self.dropout_rate > 0.0 and i < depth - 1
             if train:
                 # training keeps the concat: dropout's one mask spans both

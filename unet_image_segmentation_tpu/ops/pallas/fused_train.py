@@ -322,6 +322,423 @@ def _fwd_train_pallas(
 
 
 # ---------------------------------------------------------------------------
+# Tail kernels: affine+ReLU boundary fused with the encoder's 2x2 max pool
+# ---------------------------------------------------------------------------
+#
+# The encoder consumes each stage's chain twice: the activation z is a skip
+# connection AND the input of a 2x2 max pool (reference model/u_net.py:69).
+# Composed in XLA that costs a reduce-window + a select-and-scatter backward
+# plus the layout-conversion copies both induce around the Pallas outputs
+# (~10 ms/step at 256px/b32 on v5e).  These kernels fuse the boundary
+# affine+ReLU with the pool: the forward emits z (packed p, the skip) and
+# pool(z) (packed p2 — the NEXT stage's chain layout, so the pooled tensor
+# feeds the next stage with zero repacking); the backward consumes the two
+# cotangents, routes the pool gradient to the first-max cell (XLA
+# select-and-scatter tie semantics), applies the ReLU mask, and emits the
+# last block's BN-backward reductions alongside.
+
+
+def _pool_sel_mats(pf: int, f: int, dtype):
+    """0/1 matrices selecting even/odd f-chunks of a pf-lane vector.
+
+    Mosaic lowers strided slices as gathers (unsupported >2D on TPU), so
+    chunk selection runs as two exact selection matmuls on the MXU
+    instead: ``x @ sel_e`` keeps chunks 0,2,4,... and ``x @ sel_o`` chunks
+    1,3,5,... — each output lane is a single copied input value, exact in
+    any dtype.  Built from 2D iotas inside the kernel (no operand DMA)."""
+    pfh = pf // 2
+    r = jax.lax.broadcasted_iota(jnp.int32, (pf, pfh), 0)
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (pf, pfh), 1)
+    src = (cidx // f) * (2 * f) + (cidx % f)
+    sel_e = (r == src).astype(dtype)
+    sel_o = (r == (src + f)).astype(dtype)
+    return sel_e, sel_o
+
+
+def _pool_expand_mats(pf: int, f: int, dtype):
+    """Transposes of :func:`_pool_sel_mats` (scatter back to full lanes)."""
+    pfh = pf // 2
+    r = jax.lax.broadcasted_iota(jnp.int32, (pfh, pf), 0)
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (pfh, pf), 1)
+    src = (r // f) * (2 * f) + (r % f)
+    exp_e = (cidx == src).astype(dtype)
+    exp_o = (cidx == (src + f)).astype(dtype)
+    return exp_e, exp_o
+
+
+def _pool_tile(zc, tile_h, wp, pf, sel_e, sel_o):
+    """2x2 max pool of a packed (tile_h, wp, p*f) tile -> packed p//2.
+
+    Requires p >= 2: both horizontal neighbours of every output pixel
+    live in the same sublane (adjacent f-chunks of the lane dim), so the
+    pool is a leading-dim row max + an even/odd chunk-selection max —
+    no strided slices, no lane reshapes."""
+    th2 = tile_h // 2
+    z2 = zc.reshape(th2, 2, wp, pf)
+    zv = jnp.maximum(z2[:, 0], z2[:, 1]).reshape(th2 * wp, pf)
+    a = jax.lax.dot(zv, sel_e, preferred_element_type=jnp.float32)
+    b = jax.lax.dot(zv, sel_o, preferred_element_type=jnp.float32)
+    return jnp.maximum(a, b).astype(zc.dtype).reshape(th2, wp, pf // 2)
+
+
+def _tail_pool_kernel(
+    y_hbm,      # (B, H, Wp, pF) ANY — last block's raw output
+    aff_ref,    # (2, pF) VMEM: a, b (batch-stat affine, tiled p times)
+    z_hbm,      # (B, H, Wp, pF) ANY — z = relu(a*y+b) (the skip)
+    p_ref,      # (1, H//2, Wp, pF//2) VMEM — pool(z), packed p//2; the
+                #   64-lane pooled block rides the standard pipeline (a
+                #   manual DMA slice of a sub-128-lane buffer violates
+                #   Mosaic's lane tiling)
+    ybuf,       # scratch (2, TH, Wp, pF)
+    zbuf,       # scratch (2, TH, Wp, pF)
+    in_sems,    # (2,)
+    z_sems,     # (2,)
+    *,
+    tile_h: int,
+    n_tiles: int,
+    p: int,
+    f: int,
+):
+    b = pl.program_id(0)
+    wp = ybuf.shape[2]
+    pf = ybuf.shape[3]
+    sel_e, sel_o = _pool_sel_mats(pf, f, ybuf.dtype)
+
+    def start_in(j, slot):
+        pltpu.make_async_copy(
+            y_hbm.at[b, pl.ds(j * tile_h, tile_h)],
+            ybuf.at[slot],
+            in_sems.at[slot],
+        ).start()
+
+    def wait_in(j, slot):
+        pltpu.make_async_copy(
+            y_hbm.at[b, pl.ds(j * tile_h, tile_h)],
+            ybuf.at[slot],
+            in_sems.at[slot],
+        ).wait()
+
+    def z_copy(j, slot):
+        return pltpu.make_async_copy(
+            zbuf.at[slot],
+            z_hbm.at[b, pl.ds(j * tile_h, tile_h)],
+            z_sems.at[slot],
+        )
+
+    start_in(0, 0)
+
+    def body(j, _):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < n_tiles)
+        def _():
+            start_in(j + 1, jax.lax.rem(j + 1, 2))
+
+        wait_in(j, slot)
+
+        @pl.when(j >= 2)
+        def _():
+            z_copy(j - 2, slot).wait()
+
+        zf = (
+            ybuf[slot].astype(jnp.float32) * aff_ref[0][None, None, :]
+            + aff_ref[1][None, None, :]
+        )
+        zc = jnp.maximum(zf, 0.0).astype(zbuf.dtype)
+        zbuf[slot] = zc
+        z_copy(j, slot).start()
+        # pool over the CAST values: matches pooling the stored bf16 z
+        # (cast is monotone, and the backward's argmax compares the same)
+        p_ref[0, pl.ds(j * (tile_h // 2), tile_h // 2)] = _pool_tile(
+            zc, tile_h, wp, pf, sel_e, sel_o
+        )
+        return ()
+
+    jax.lax.fori_loop(0, n_tiles, body, (), unroll=False)
+
+    @pl.when(n_tiles >= 2)
+    def _():
+        z_copy(n_tiles - 2, jax.lax.rem(n_tiles - 2, 2)).wait()
+
+    z_copy(n_tiles - 1, jax.lax.rem(n_tiles - 1, 2)).wait()
+
+
+def _pick_tile_h_tail(h: int, wp: int, pf: int, bwd: bool) -> Optional[int]:
+    budget = fs.vmem_budget(8)
+    slack = 1.3
+    n_full = 3 if not bwd else 4  # fwd: y,z + f32 temp; bwd: y,gs,d + temps
+    # the pooled (pf//2-lane) block is VMEM-resident for the whole batch
+    # item: (h//2, wp, pf//2) padded to a full 128-lane tile
+    resident = (h // 2) * wp * max(pf // 2, fs.LANE) * 2
+    for tile in (64, 32, 16, 8, 4, 2):
+        if h % tile or tile % 2:
+            continue
+        working = (
+            resident
+            + 2 * n_full * tile * wp * pf * 2
+            + (4 if bwd else 2) * tile * wp * pf * 4  # f32 temporaries
+        )
+        if working * slack <= budget:
+            return tile
+    return None
+
+
+def _tail_pool_packed(
+    y_p: jax.Array,      # (B, H, Wp, pF)
+    a: jax.Array,        # (F,) f32 affine scale
+    b_: jax.Array,       # (F,) f32 affine shift
+    p: int,
+    f: int,
+) -> Optional[Tuple[jax.Array, jax.Array]]:
+    """(z_packed_p, pooled_packed_{p//2}) or None when no even tile fits.
+
+    The pooled output always leaves in pack p//2 (both horizontal
+    neighbours share a sublane only when p >= 2); the caller repacks with
+    one XLA reshape when the next stage wants a different factor."""
+    bsz, h, wp, pf = y_p.shape
+    if p < 2:
+        return None
+    tile_h = _pick_tile_h_tail(h, wp, pf, bwd=False)
+    if tile_h is None:
+        return None
+    n_tiles = h // tile_h
+    aff = jnp.stack(
+        [jnp.tile(a.astype(jnp.float32), p), jnp.tile(b_.astype(jnp.float32), p)]
+    )
+    kernel = functools.partial(
+        _tail_pool_kernel, tile_h=tile_h, n_tiles=n_tiles, p=p, f=f
+    )
+    z_p, pool_p = pl.pallas_call(
+        kernel,
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, h // 2, wp, pf // 2),
+                lambda bi: (bi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, h, wp, pf), y_p.dtype),
+            jax.ShapeDtypeStruct((bsz, h // 2, wp, pf // 2), y_p.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_h, wp, pf), y_p.dtype),
+            pltpu.VMEM((2, tile_h, wp, pf), y_p.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=bsz * h * wp * pf * 5,
+            bytes_accessed=int(2.25 * bsz * h * wp * pf) * y_p.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=fs.vmem_params(),
+        interpret=_use_interpret(),
+    )(y_p, aff)
+    return z_p, pool_p
+
+
+def _tail_pool_bwd_kernel(
+    y_hbm,      # (B, H, Wp, pF) ANY — raw activations
+    gs_hbm,     # (B, H, Wp, pF) ANY — skip (z) cotangent
+    gp_ref,     # (1, H//2, Wp, pF//2) VMEM — pooled cotangent, packed
+                #   p//2; rides the standard pipeline (sub-128-lane
+                #   buffers can't be manually DMA-sliced)
+    aff_ref,    # (4, pF) VMEM: a, b, mean, rstd
+    d_hbm,      # (B, H, Wp, pF) ANY — dzt (ReLU-masked z-space gradient)
+    st_ref,     # (8, pF) VMEM: row0 S=sum(dzt), row1 T=sum(dzt*yhat)
+    ybuf,       # scratch (2, TH, Wp, pF)
+    gsbuf,      # scratch (2, TH, Wp, pF)
+    dbuf,       # scratch (2, TH, Wp, pF)
+    st_acc,     # scratch (8, pF) f32
+    in_sems,    # (2, 2)
+    out_sems,   # (2,)
+    *,
+    tile_h: int,
+    n_tiles: int,
+    p: int,
+    f: int,
+):
+    b = pl.program_id(0)
+    wp = ybuf.shape[2]
+    pf = ybuf.shape[3]
+    sel_e, sel_o = _pool_sel_mats(pf, f, ybuf.dtype)
+    exp_e, exp_o = _pool_expand_mats(pf, f, ybuf.dtype)
+
+    def start_in(j, slot):
+        pltpu.make_async_copy(
+            y_hbm.at[b, pl.ds(j * tile_h, tile_h)], ybuf.at[slot],
+            in_sems.at[slot, 0],
+        ).start()
+        pltpu.make_async_copy(
+            gs_hbm.at[b, pl.ds(j * tile_h, tile_h)], gsbuf.at[slot],
+            in_sems.at[slot, 1],
+        ).start()
+
+    def wait_in(j, slot):
+        pltpu.make_async_copy(
+            y_hbm.at[b, pl.ds(j * tile_h, tile_h)], ybuf.at[slot],
+            in_sems.at[slot, 0],
+        ).wait()
+        pltpu.make_async_copy(
+            gs_hbm.at[b, pl.ds(j * tile_h, tile_h)], gsbuf.at[slot],
+            in_sems.at[slot, 1],
+        ).wait()
+
+    def out_copy(j, slot):
+        return pltpu.make_async_copy(
+            dbuf.at[slot],
+            d_hbm.at[b, pl.ds(j * tile_h, tile_h)],
+            out_sems.at[slot],
+        )
+
+    st_acc[...] = jnp.zeros((8, pf), jnp.float32)
+    start_in(0, 0)
+
+    def body(j, _):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < n_tiles)
+        def _():
+            start_in(j + 1, jax.lax.rem(j + 1, 2))
+
+        wait_in(j, slot)
+
+        @pl.when(j >= 2)
+        def _():
+            out_copy(j - 2, slot).wait()
+
+        yf = ybuf[slot].astype(jnp.float32)
+        w = yf * aff_ref[0][None, None, :] + aff_ref[1][None, None, :]
+        zc = jnp.maximum(w, 0.0).astype(ybuf.dtype)  # cast: fwd tie parity
+
+        # window cells in row-major order (00, 01, 10, 11); the pool
+        # gradient goes to the FIRST max (select-and-scatter semantics).
+        # Horizontal neighbours are even/odd f-chunks of the lane dim
+        # (p >= 2), so selection/scatter run as exact 0/1 matmuls — no
+        # strided slices (Mosaic would lower those as >2D gathers).
+        th2 = tile_h // 2
+        pfh = pf // 2
+        zc2 = zc.reshape(tile_h * wp, pf)
+        zE = jax.lax.dot(zc2, sel_e, preferred_element_type=jnp.float32)
+        zO = jax.lax.dot(zc2, sel_o, preferred_element_type=jnp.float32)
+        zE = zE.reshape(th2, 2, wp, pfh)
+        zO = zO.reshape(th2, 2, wp, pfh)
+        a00, a10 = zE[:, 0], zE[:, 1]
+        a01, a11 = zO[:, 0], zO[:, 1]
+        m00 = (a00 >= a01) & (a00 >= a10) & (a00 >= a11)
+        m01 = (a01 > a00) & (a01 >= a10) & (a01 >= a11)
+        m10 = (a10 > a00) & (a10 > a01) & (a10 >= a11)
+        m11 = (a11 > a00) & (a11 > a01) & (a11 > a10)
+        gpg = gp_ref[0, pl.ds(j * th2, th2)]
+        zero = jnp.zeros_like(gpg)
+        g00 = jnp.where(m00, gpg, zero)
+        g01 = jnp.where(m01, gpg, zero)
+        g10 = jnp.where(m10, gpg, zero)
+        g11 = jnp.where(m11, gpg, zero)
+        lg = jnp.stack([g00, g10], axis=1).reshape(tile_h * wp, pfh)
+        rg = jnp.stack([g01, g11], axis=1).reshape(tile_h * wp, pfh)
+        gp_full = (
+            jax.lax.dot(lg, exp_e, preferred_element_type=jnp.float32)
+            + jax.lax.dot(rg, exp_o, preferred_element_type=jnp.float32)
+        ).reshape(tile_h, wp, pf)
+
+        g_z = gsbuf[slot].astype(jnp.float32) + gp_full.astype(jnp.float32)
+        dzt = jnp.where(w > 0, g_z, 0.0)
+        yhat = (yf - aff_ref[2][None, None, :]) * aff_ref[3][None, None, :]
+        st_acc[0, :] = st_acc[0, :] + jnp.sum(dzt, axis=(0, 1))
+        st_acc[1, :] = st_acc[1, :] + jnp.sum(dzt * yhat, axis=(0, 1))
+        dbuf[slot] = dzt.astype(dbuf.dtype)
+        out_copy(j, slot).start()
+        return ()
+
+    jax.lax.fori_loop(0, n_tiles, body, (), unroll=False)
+
+    @pl.when(n_tiles >= 2)
+    def _():
+        out_copy(n_tiles - 2, jax.lax.rem(n_tiles - 2, 2)).wait()
+
+    out_copy(n_tiles - 1, jax.lax.rem(n_tiles - 1, 2)).wait()
+
+    first = b == 0
+
+    @pl.when(first)
+    def _():
+        st_ref[...] = st_acc[...]
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        st_ref[...] = st_ref[...] + st_acc[...]
+
+
+def _tail_pool_bwd_packed(
+    y_p: jax.Array,     # (B, H, Wp, pF)
+    gs_p: jax.Array,    # (B, H, Wp, pF)
+    gp_p: jax.Array,    # (B, H//2, Wp, pF//2) — pooled cotangent, pack p//2
+    aff4: jax.Array,    # (4, F) f32: a, b, mean, rstd
+    p: int,
+    f: int,
+) -> Optional[Tuple[jax.Array, jax.Array]]:
+    """(dzt packed p, st (2, F) [S, T]) or None when no even tile fits."""
+    bsz, h, wp, pf = y_p.shape
+    if p < 2:
+        return None
+    tile_h = _pick_tile_h_tail(h, wp, pf, bwd=True)
+    if tile_h is None:
+        return None
+    n_tiles = h // tile_h
+    aff = jnp.tile(aff4.astype(jnp.float32), (1, p))
+    kernel = functools.partial(
+        _tail_pool_bwd_kernel, tile_h=tile_h, n_tiles=n_tiles, p=p, f=f
+    )
+    d_p, st_p = pl.pallas_call(
+        kernel,
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, h // 2, wp, pf // 2),
+                lambda bi: (bi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((8, pf), lambda bi: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, h, wp, pf), y_p.dtype),
+            jax.ShapeDtypeStruct((8, pf), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_h, wp, pf), y_p.dtype),
+            pltpu.VMEM((2, tile_h, wp, pf), gs_p.dtype),
+            pltpu.VMEM((2, tile_h, wp, pf), y_p.dtype),
+            pltpu.VMEM((8, pf), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=bsz * h * wp * pf * 12,
+            bytes_accessed=int(3.25 * bsz * h * wp * pf) * y_p.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=fs.vmem_params(),
+        interpret=_use_interpret(),
+    )(y_p, gs_p, gp_p, aff)
+    st = st_p[:2].reshape(2, p, f).sum(axis=1)
+    return d_p, st
+
+
+# ---------------------------------------------------------------------------
 # Backward kernel: combine-in, conv backward, mask-out + BN reductions
 # ---------------------------------------------------------------------------
 
@@ -834,10 +1251,14 @@ def _unflatten_params(flat):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _chain_core(n_blocks, eps, axis_name, z_in, *flat_params):
-    """Returns (z_out, ((mean, var), ...) per block)."""
-    outputs, _ = _chain_fwd_impl(n_blocks, eps, axis_name, z_in, flat_params)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _chain_core(n_blocks, eps, axis_name, pool_p2, in_p, z_in, *flat_params):
+    """Returns (z_out, ((mean, var), ...) per block); with ``pool_p2``
+    returns (z_out_packed, pooled_packed, stats) — see
+    :func:`fused_chain_train_pool`."""
+    outputs, _ = _chain_fwd_impl(
+        n_blocks, eps, axis_name, pool_p2, in_p, z_in, flat_params
+    )
     return outputs
 
 
@@ -848,26 +1269,40 @@ def _chain_channels(z_in, blocks):
     return chans
 
 
-def _chain_fwd_impl(n_blocks, eps, axis_name, z_in, flat_params):
-    """Returns ((z_out, mean/var per block), residuals).
+def _chain_fwd_impl(n_blocks, eps, axis_name, pool_p2, in_p, z_in, flat_params):
+    """Returns ((z_out[, pooled], mean/var per block), residuals).
 
     When one pack factor aligns every channel count in the chain, the
     blocks exchange PACKED (B, H, W/p, p*C) tensors directly — kernel to
     kernel, zero reshapes — and the residuals are saved packed so the
-    backward kernels stream them as-is.  ``residuals[-1]`` records p
-    (1 == unpacked path, e.g. the 3-channel first stage).
+    backward kernels stream them as-is.
+
+    ``in_p``: the input is ALREADY packed (B, H, W/in_p, in_p*C) — the
+    previous encoder stage's fused pool emitted it in this stage's layout.
+    ``pool_p2``: fuse the boundary affine+ReLU with the 2x2 max pool and
+    return (z_packed_p, pooled_packed_p2, stats) instead of materializing
+    the unpacked activation.
     """
     blocks = _unflatten_params(flat_params)
-    b, h, w, _ = z_in.shape
+    if in_p:
+        b, h, wp0, pc0 = z_in.shape
+        w = wp0 * in_p
+        p = in_p
+        assert p == (_chain_common_pack([pc0 // in_p] + [
+            blk[1].shape[-1] for blk in blocks
+        ], w) or 1), "in_p must equal the chain's own pack factor"
+        z_first = z_in
+    else:
+        b, h, w, _ = z_in.shape
+        p = _chain_common_pack(_chain_channels(z_in, blocks), w) or 1
+        if p > 1:
+            z_first = z_in.reshape(b, h, w // p, p * z_in.shape[-1])
+        else:
+            z_first = z_in
     n_local = b * h * w
     n = n_local * (
         jax.lax.psum(1, axis_name) if axis_name is not None else 1
     )
-    p = _chain_common_pack(_chain_channels(z_in, blocks), w) or 1
-    if p > 1:
-        z_first = z_in.reshape(b, h, w // p, p * z_in.shape[-1])
-    else:
-        z_first = z_in
 
     z_or_y = z_first       # raw input (z-space) for the first block
     in_aff = None          # (a, b) pending affine for the next conv
@@ -915,34 +1350,78 @@ def _chain_fwd_impl(n_blocks, eps, axis_name, z_in, flat_params):
         ys.append(y)
         in_aff = _affine_from_stats(gamma, beta, mean, var, eps)
         z_or_y = y
-    # boundary: materialize the final activation (elementwise on the
-    # packed form — params tiled — then one unpack reshape)
+    # boundary: materialize the final activation — fused with the 2x2 max
+    # pool (encoder stages) or as one elementwise pass + unpack reshape
     y_last = ys[-1]
     f_last = blocks[-1][1].shape[1]
     a_last, b_last = in_aff
-    if p > 1:
-        a_last = jnp.tile(a_last, p)
-        b_last = jnp.tile(b_last, p)
-    z_out = jnp.maximum(
-        y_last.astype(jnp.float32) * a_last + b_last, 0.0
-    ).astype(z_in.dtype)
-    if p > 1:
-        z_out = z_out.reshape(b, h, w, f_last)
-    outputs = (z_out, tuple(stats))
+    tail_ok = (
+        pool_p2
+        and p >= 2
+        and (p * f_last) % fs.LANE == 0
+        and h % 2 == 0
+        and pool_p2 in (p, p // 2)
+        and (w // 2) % pool_p2 == 0
+    )
+    if tail_ok:
+        fused_tail = _tail_pool_packed(y_last, a_last, b_last, p, f_last)
+    else:
+        fused_tail = None
+    if pool_p2:
+        if fused_tail is None:
+            # composed-XLA fallback with identical numerics
+            a_t = jnp.tile(a_last, p) if p > 1 else a_last
+            b_t = jnp.tile(b_last, p) if p > 1 else b_last
+            z_p = jnp.maximum(
+                y_last.astype(jnp.float32) * a_t + b_t, 0.0
+            ).astype(z_in.dtype)
+            z_unp = z_p.reshape(b, h, w, f_last) if p > 1 else z_p
+            pooled = jax.lax.reduce_window(
+                z_unp, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+                "VALID",
+            )
+            pooled = pooled.reshape(
+                b, h // 2, (w // 2) // pool_p2, pool_p2 * f_last
+            )
+            z_p = z_unp.reshape(b, h, w // p, p * f_last) if p > 1 else z_unp
+        else:
+            z_p, pooled = fused_tail
+            if pool_p2 != p // 2:
+                # kernel emits pack p//2; one XLA repack to the next
+                # stage's factor (only the stage-1 -> stage-2 boundary,
+                # where the padded-input pack equals the next chain's)
+                pooled = pooled.reshape(b, h // 2, w // 2, f_last).reshape(
+                    b, h // 2, (w // 2) // pool_p2, pool_p2 * f_last
+                )
+        outputs = (z_p, pooled, tuple(stats))
+    else:
+        if p > 1:
+            a_last = jnp.tile(a_last, p)
+            b_last = jnp.tile(b_last, p)
+        z_out = jnp.maximum(
+            y_last.astype(jnp.float32) * a_last + b_last, 0.0
+        ).astype(z_in.dtype)
+        if p > 1:
+            z_out = z_out.reshape(b, h, w, f_last)
+        outputs = (z_out, tuple(stats))
     residuals = (z_first, tuple(ys), tuple(stats), flat_params, n, p)
     return outputs, residuals
 
 
-def _chain_fwd(n_blocks, eps, axis_name, z_in, *flat_params):
+def _chain_fwd(n_blocks, eps, axis_name, pool_p2, in_p, z_in, *flat_params):
     outputs, residuals = _chain_fwd_impl(
-        n_blocks, eps, axis_name, z_in, flat_params
+        n_blocks, eps, axis_name, pool_p2, in_p, z_in, flat_params
     )
     return outputs, residuals
 
 
-def _chain_bwd(n_blocks, eps, axis_name, residuals, cotangents):
+def _chain_bwd(n_blocks, eps, axis_name, pool_p2, in_p, residuals, cotangents):
     z_first, ys, stats, flat_params, n, p = residuals
-    g_zout, stats_cot = cotangents
+    if pool_p2:
+        g_zout, g_pool, stats_cot = cotangents
+    else:
+        g_zout, stats_cot = cotangents
+        g_pool = None
     blocks = _unflatten_params(flat_params)
     grads_per_block = [None] * n_blocks
 
@@ -955,8 +1434,11 @@ def _chain_bwd(n_blocks, eps, axis_name, residuals, cotangents):
     def group_sum(v, f):
         return v.reshape(p, f).sum(axis=0) if p > 1 else v
 
-    # --- boundary: reductions of the masked output gradient (XLA pass;
-    # fuses into one read of (g_zout, y_last), on the packed forms) ---
+    # --- boundary: reductions of the masked output gradient.  With the
+    # fused pool: one Pallas kernel routes the pool cotangent to the
+    # first-max cell, adds the skip cotangent, applies the ReLU mask and
+    # emits S/T.  Without: an XLA pass fusing into one read of
+    # (g_zout, y_last) on the packed forms. ---
     k = n_blocks - 1
     _, pww_last, gamma, beta = blocks[k]
     f_last = pww_last.shape[1]
@@ -964,24 +1446,93 @@ def _chain_bwd(n_blocks, eps, axis_name, residuals, cotangents):
     r = jax.lax.rsqrt(var + eps)
     a_out = (gamma * r).astype(jnp.float32)
     b_out = (beta - mean * a_out).astype(jnp.float32)
-    if p > 1:
-        bsz, h, w, _ = g_zout.shape
-        g_zout = g_zout.reshape(bsz, h, w // p, p * f_last)
-    yk = ys[k].astype(jnp.float32)
-    gz = g_zout.astype(jnp.float32)
-    dzt = jnp.where((yk * tile_p(a_out) + tile_p(b_out)) > 0, gz, 0.0)
-    S = psum_if(group_sum(jnp.sum(dzt, axis=(0, 1, 2)), f_last))
-    T = psum_if(
-        group_sum(
-            jnp.sum(
-                dzt * ((yk - tile_p(mean)) * tile_p(r)), axis=(0, 1, 2)
-            ),
-            f_last,
-        )
-    )
 
-    g_raw = g_zout        # raw grad stream for the current block
     g_is_masked = False   # whether g_raw already has the ReLU mask applied
+    if pool_p2:
+        # cotangents arrive packed: g_zout (B,H,Wp,pF), g_pool packed p2
+        aff4 = jnp.stack(
+            [
+                a_out,
+                b_out,
+                mean.astype(jnp.float32),
+                r.astype(jnp.float32),
+            ]
+        )
+        if p >= 2 and (p * f_last) % fs.LANE == 0:
+            gp_ph = g_pool
+            if pool_p2 != p // 2:
+                # repack the pooled cotangent to the kernel's p//2 layout
+                bsz_, h2_, _, _ = g_pool.shape
+                w2_ = g_pool.shape[2] * pool_p2
+                gp_ph = g_pool.reshape(bsz_, h2_, w2_, f_last).reshape(
+                    bsz_, h2_, w2_ // (p // 2), (p // 2) * f_last
+                )
+            fused_tail = _tail_pool_bwd_packed(
+                ys[k], g_zout.astype(ys[k].dtype),
+                gp_ph.astype(ys[k].dtype), aff4, p, f_last,
+            )
+        else:
+            fused_tail = None
+        if fused_tail is None:
+            # XLA fallback: vjp through the same pool (identical ties)
+            bsz, h_, wp_, pf_ = ys[k].shape
+            w_ = wp_ * p
+            yk = ys[k].astype(jnp.float32)
+            wlin = yk * tile_p(a_out) + tile_p(b_out)
+            z_unp = jnp.maximum(wlin, 0.0).astype(ys[k].dtype).reshape(
+                bsz, h_, w_, f_last
+            )
+
+            def pool_fn(z):
+                return jax.lax.reduce_window(
+                    z, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+                    "VALID",
+                )
+
+            _, pool_vjp = jax.vjp(pool_fn, z_unp)
+            (g_from_pool,) = pool_vjp(
+                g_pool.reshape(bsz, h_ // 2, w_ // 2, f_last).astype(
+                    z_unp.dtype
+                )
+            )
+            g_z = g_zout.astype(jnp.float32) + g_from_pool.reshape(
+                bsz, h_, wp_, pf_
+            ).astype(jnp.float32)
+            dzt = jnp.where(wlin > 0, g_z, 0.0)
+            S = psum_if(group_sum(jnp.sum(dzt, axis=(0, 1, 2)), f_last))
+            T = psum_if(
+                group_sum(
+                    jnp.sum(
+                        dzt * ((yk - tile_p(mean)) * tile_p(r)),
+                        axis=(0, 1, 2),
+                    ),
+                    f_last,
+                )
+            )
+            g_raw = dzt.astype(ys[k].dtype)
+        else:
+            dzt_p, st = fused_tail
+            S = psum_if(st[0])
+            T = psum_if(st[1])
+            g_raw = dzt_p
+        g_is_masked = True
+    else:
+        if p > 1:
+            bsz, h, w, _ = g_zout.shape
+            g_zout = g_zout.reshape(bsz, h, w // p, p * f_last)
+        yk = ys[k].astype(jnp.float32)
+        gz = g_zout.astype(jnp.float32)
+        dzt = jnp.where((yk * tile_p(a_out) + tile_p(b_out)) > 0, gz, 0.0)
+        S = psum_if(group_sum(jnp.sum(dzt, axis=(0, 1, 2)), f_last))
+        T = psum_if(
+            group_sum(
+                jnp.sum(
+                    dzt * ((yk - tile_p(mean)) * tile_p(r)), axis=(0, 1, 2)
+                ),
+                f_last,
+            )
+        )
+        g_raw = g_zout        # raw grad stream for the current block
     dz_in = None
     for k in range(n_blocks - 1, -1, -1):
         dwk, pww, gamma, beta = blocks[k]
@@ -1097,7 +1648,9 @@ def _chain_bwd(n_blocks, eps, axis_name, residuals, cotangents):
         else:
             dz_in = dx
 
-    if p > 1:  # unpack the chain-input gradient once at the boundary
+    if p > 1 and not in_p:
+        # unpack the chain-input gradient once at the boundary; with a
+        # packed input (in_p) the cotangent stays packed to match it
         bsz, h, wp, pc = dz_in.shape
         dz_in = dz_in.reshape(bsz, h, wp * p, pc // p)
     flat_grads = _flatten_params(grads_per_block)
@@ -1107,22 +1660,23 @@ def _chain_bwd(n_blocks, eps, axis_name, residuals, cotangents):
 _chain_core.defvjp(_chain_fwd, _chain_bwd)
 
 
-def fused_chain_train(
-    z_in: jax.Array,
-    blocks: Sequence[Tuple[jax.Array, jax.Array, jax.Array, jax.Array]],
-    eps: float = 1e-3,
-    axis_name: Optional[str] = None,
-):
-    """Train-mode ConvBlock chain: z_in -> [sepconv -> BN -> ReLU] x N.
+def _prep_blocks(z_dtype, c, blocks):
+    prepped = []
+    for (dw, pw, gamma, beta) in blocks:
+        f = pw.shape[-1]
+        prepped.append(
+            (
+                dw.reshape(3, 3, c).astype(z_dtype),
+                pw.reshape(c, f).astype(z_dtype),
+                gamma,
+                beta,
+            )
+        )
+        c = f
+    return prepped
 
-    ``blocks``: per block ``(depthwise (3,3,C,1) or (3,3,C), pointwise
-    (1,1,C,F) or (C,F), bn_scale (F,), bn_offset (F,))``.  Returns
-    ``(z_out, ((batch_mean, batch_var), ...))`` — the moments feed the
-    running-stat updates.  Differentiable via the fused Pallas backward;
-    per-block XLA fallback when no lane packing fits (e.g. 3-channel
-    input).  Rebuilds the reference conv_block chain semantics
-    (reference model/u_net.py:5-26, Keras BN eps 1e-3, biased variance).
-    """
+
+def _pad_narrow_input(z_in, blocks):
     # Narrow first-block inputs (the 3-channel image) defeat lane packing
     # and drop the whole stage to the XLA fallback. Zero-padding the input
     # channels up to the smallest count that packs is EXACT (zero channels
@@ -1151,19 +1705,70 @@ def fused_chain_train(
                 ] + list(blocks[1:])
                 z_in = jnp.pad(z_in, ((0, 0), (0, 0), (0, 0), (0, pad_c)))
                 break
+    return z_in, blocks
 
-    prepped = []
-    c = z_in.shape[-1]
-    for (dw, pw, gamma, beta) in blocks:
-        f = pw.shape[-1]
-        prepped.append(
-            (
-                dw.reshape(3, 3, c).astype(z_in.dtype),
-                pw.reshape(c, f).astype(z_in.dtype),
-                gamma,
-                beta,
-            )
-        )
-        c = f
+
+def fused_chain_train(
+    z_in: jax.Array,
+    blocks: Sequence[Tuple[jax.Array, jax.Array, jax.Array, jax.Array]],
+    eps: float = 1e-3,
+    axis_name: Optional[str] = None,
+):
+    """Train-mode ConvBlock chain: z_in -> [sepconv -> BN -> ReLU] x N.
+
+    ``blocks``: per block ``(depthwise (3,3,C,1) or (3,3,C), pointwise
+    (1,1,C,F) or (C,F), bn_scale (F,), bn_offset (F,))``.  Returns
+    ``(z_out, ((batch_mean, batch_var), ...))`` — the moments feed the
+    running-stat updates.  Differentiable via the fused Pallas backward;
+    per-block XLA fallback when no lane packing fits (e.g. 3-channel
+    input).  Rebuilds the reference conv_block chain semantics
+    (reference model/u_net.py:5-26, Keras BN eps 1e-3, biased variance).
+    """
+    z_in, blocks = _pad_narrow_input(z_in, blocks)
+    prepped = _prep_blocks(z_in.dtype, z_in.shape[-1], blocks)
     flat = _flatten_params(prepped)
-    return _chain_core(len(prepped), eps, axis_name, z_in, *flat)
+    return _chain_core(len(prepped), eps, axis_name, None, None, z_in, *flat)
+
+
+def chain_pack_of(channels, w: int) -> int:
+    """Pack factor a chain with these channel counts runs at (1 = none)."""
+    return _chain_common_pack(list(channels), w) or 1
+
+
+def fused_chain_train_pool(
+    z_in: jax.Array,
+    blocks: Sequence[Tuple[jax.Array, jax.Array, jax.Array, jax.Array]],
+    pool_to_pack: int,
+    in_packed: "Optional[int]" = None,
+    eps: float = 1e-3,
+    axis_name: Optional[str] = None,
+):
+    """Encoder variant of :func:`fused_chain_train` with the 2x2 max pool
+    fused into the chain boundary.
+
+    Returns ``(z_packed, p, pooled_packed, stats)``: ``z_packed`` is the
+    stage activation in packed layout ``(B, H, W/p, p*F)`` (the skip — the
+    caller unpacks with one reshape where it is consumed); ``pooled_packed``
+    is ``pool(z)`` already packed with ``pool_to_pack``, so the NEXT stage
+    consumes it straight back via ``in_packed=pool_to_pack`` with zero
+    repacking.  Rebuilds the reference conv pair + MaxPooling2D encoder
+    stage (model/u_net.py:57-69) as packed Pallas kernels end to end.
+    """
+    if in_packed in (None, 1):
+        z_in, blocks = _pad_narrow_input(z_in, blocks)
+        in_p = None
+        c0 = z_in.shape[-1]
+        w = z_in.shape[2]
+    else:
+        in_p = in_packed
+        c0 = z_in.shape[-1] // in_p
+        w = z_in.shape[2] * in_p
+    prepped = _prep_blocks(z_in.dtype, c0, blocks)
+    flat = _flatten_params(prepped)
+    z_p, pooled, stats = _chain_core(
+        len(prepped), eps, axis_name, int(pool_to_pack), in_p, z_in, *flat
+    )
+    p = _chain_common_pack(
+        [c0] + [blk[1].shape[-1] for blk in prepped], w
+    ) or 1
+    return z_p, p, pooled, stats
