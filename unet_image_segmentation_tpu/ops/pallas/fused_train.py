@@ -90,53 +90,60 @@ def _fwd_train_kernel(
     pc = xbuf.shape[3]
     pf = ybuf.shape[3]
 
-    def start_in(j, slot):
+    # ONE slab DMA per tile (rows [row0-1, row0+tile_h] into
+    # xbuf[0:tile_h+2]), with shortened edge variants that stay in range;
+    # the virtual halo row is zero-filled after the wait.  Re-reading the
+    # two halo rows costs 2/tile_h extra traffic — cheaper than the three
+    # per-tile DMAs (center + 2 single-row halos) this replaces: single-
+    # row DMAs are latency-bound and serialized the pipeline.
+    def _edge_cases(j, slot, verb):
         row0 = j * tile_h
-        pltpu.make_async_copy(
-            x_hbm.at[b, pl.ds(row0, tile_h)],
-            xbuf.at[slot, pl.ds(1, tile_h)],
-            in_sems.at[slot, 0],
-        ).start()
+        sem = in_sems.at[slot, 0]
 
-        @pl.when(j > 0)
+        @pl.when(j == 0)
         def _():
-            pltpu.make_async_copy(
-                x_hbm.at[b, pl.ds(row0 - 1, 1)],
-                xbuf.at[slot, pl.ds(0, 1)],
-                in_sems.at[slot, 1],
-            ).start()
+            cp = pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(0, tile_h + 1)],
+                xbuf.at[slot, pl.ds(1, tile_h + 1)],
+                sem,
+            )
+            getattr(cp, verb)()
 
-        @pl.when(j < n_tiles - 1)
+        @pl.when(j == n_tiles - 1)
         def _():
+            cp = pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(row0 - 1, tile_h + 1)],
+                xbuf.at[slot, pl.ds(0, tile_h + 1)],
+                sem,
+            )
+            getattr(cp, verb)()
+
+        @pl.when(jnp.logical_and(j > 0, j < n_tiles - 1))
+        def _():
+            cp = pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(row0 - 1, tile_h + 2)], xbuf.at[slot], sem
+            )
+            getattr(cp, verb)()
+
+    def start_in(j, slot):
+        if n_tiles == 1:
             pltpu.make_async_copy(
-                x_hbm.at[b, pl.ds(row0 + tile_h, 1)],
-                xbuf.at[slot, pl.ds(tile_h + 1, 1)],
-                in_sems.at[slot, 2],
+                x_hbm.at[b],
+                xbuf.at[slot, pl.ds(1, tile_h)],
+                in_sems.at[slot, 0],
             ).start()
+        else:
+            _edge_cases(j, slot, "start")
 
     def wait_in(j, slot):
-        row0 = j * tile_h
-        pltpu.make_async_copy(
-            x_hbm.at[b, pl.ds(row0, tile_h)],
-            xbuf.at[slot, pl.ds(1, tile_h)],
-            in_sems.at[slot, 0],
-        ).wait()
-
-        @pl.when(j > 0)
-        def _():
+        if n_tiles == 1:
             pltpu.make_async_copy(
-                x_hbm.at[b, pl.ds(row0 - 1, 1)],
-                xbuf.at[slot, pl.ds(0, 1)],
-                in_sems.at[slot, 1],
+                x_hbm.at[b],
+                xbuf.at[slot, pl.ds(1, tile_h)],
+                in_sems.at[slot, 0],
             ).wait()
-
-        @pl.when(j < n_tiles - 1)
-        def _():
-            pltpu.make_async_copy(
-                x_hbm.at[b, pl.ds(row0 + tile_h, 1)],
-                xbuf.at[slot, pl.ds(tile_h + 1, 1)],
-                in_sems.at[slot, 2],
-            ).wait()
+        else:
+            _edge_cases(j, slot, "wait")
 
         if in_affine:
             z = (
@@ -762,7 +769,7 @@ def _bwd_train_kernel(
     ddw_acc,      # scratch (16, pC) f32
     dpw_acc,      # scratch (pC, pF) f32
     st_acc,       # scratch (8, pC) f32
-    in_sems,      # (2, 9)
+    in_sems,      # (2, 3) — one per input stream
     out_sems,     # (2,)
     *,
     tile_h: int,
@@ -792,69 +799,75 @@ def _bwd_train_kernel(
     if combine:
         streams.append((y_hbm, ybuf))
 
-    def start_in(j, slot):
+    # ONE slab DMA per stream per tile (rows [row0-1, row0+tile_h] into
+    # buf[0:tile_h+2]), with shortened edge variants that keep the copy in
+    # range and leave the virtual halo row for a zero-fill.  Re-reading
+    # the two halo rows costs 2/tile_h extra traffic — far cheaper than
+    # the 3 single-row DMAs per stream this replaces (small DMAs are
+    # latency-bound, and 6 of them per tile serialized the pipeline).
+    def _edge_cases(j, slot, base, verb):
+        hbm, buf = streams[base]
         row0 = j * tile_h
-        for base, (hbm, buf) in enumerate(streams):
-            off = base * 3
-            pltpu.make_async_copy(
-                hbm.at[b, pl.ds(row0, tile_h)],
-                buf.at[slot, pl.ds(1, tile_h)],
-                in_sems.at[slot, off],
-            ).start()
+        sem = in_sems.at[slot, base]
 
-            @pl.when(j > 0)
-            def _():
-                pltpu.make_async_copy(
-                    hbm.at[b, pl.ds(row0 - 1, 1)],
-                    buf.at[slot, pl.ds(0, 1)],
-                    in_sems.at[slot, off + 1],
-                ).start()
+        @pl.when(j == 0)
+        def _():
+            cp = pltpu.make_async_copy(
+                hbm.at[b, pl.ds(0, tile_h + 1)],
+                buf.at[slot, pl.ds(1, tile_h + 1)],
+                sem,
+            )
+            getattr(cp, verb)()
 
-            @pl.when(j < n_tiles - 1)
-            def _():
+        @pl.when(j == n_tiles - 1)
+        def _():
+            cp = pltpu.make_async_copy(
+                hbm.at[b, pl.ds(row0 - 1, tile_h + 1)],
+                buf.at[slot, pl.ds(0, tile_h + 1)],
+                sem,
+            )
+            getattr(cp, verb)()
+
+        @pl.when(jnp.logical_and(j > 0, j < n_tiles - 1))
+        def _():
+            cp = pltpu.make_async_copy(
+                hbm.at[b, pl.ds(row0 - 1, tile_h + 2)], buf.at[slot], sem
+            )
+            getattr(cp, verb)()
+
+    def start_in(j, slot):
+        for base in range(len(streams)):
+            if n_tiles == 1:
+                hbm, buf = streams[base]
                 pltpu.make_async_copy(
-                    hbm.at[b, pl.ds(row0 + tile_h, 1)],
-                    buf.at[slot, pl.ds(tile_h + 1, 1)],
-                    in_sems.at[slot, off + 2],
+                    hbm.at[b],
+                    buf.at[slot, pl.ds(1, tile_h)],
+                    in_sems.at[slot, base],
                 ).start()
+            else:
+                _edge_cases(j, slot, base, "start")
 
     def wait_in(j, slot):
-        row0 = j * tile_h
-        for base, (hbm, buf) in enumerate(streams):
-            off = base * 3
-            pltpu.make_async_copy(
-                hbm.at[b, pl.ds(row0, tile_h)],
-                buf.at[slot, pl.ds(1, tile_h)],
-                in_sems.at[slot, off],
-            ).wait()
-
-            @pl.when(j > 0)
-            def _():
+        for base in range(len(streams)):
+            if n_tiles == 1:
+                hbm, buf = streams[base]
                 pltpu.make_async_copy(
-                    hbm.at[b, pl.ds(row0 - 1, 1)],
-                    buf.at[slot, pl.ds(0, 1)],
-                    in_sems.at[slot, off + 1],
+                    hbm.at[b],
+                    buf.at[slot, pl.ds(1, tile_h)],
+                    in_sems.at[slot, base],
                 ).wait()
+            else:
+                _edge_cases(j, slot, base, "wait")
+        for _, buf in streams:
+            zrow = jnp.zeros((buf.shape[2], buf.shape[3]), buf.dtype)
 
             @pl.when(j == 0)
             def _():
-                buf[slot, 0, :, :] = jnp.zeros(
-                    (buf.shape[2], buf.shape[3]), buf.dtype
-                )
-
-            @pl.when(j < n_tiles - 1)
-            def _():
-                pltpu.make_async_copy(
-                    hbm.at[b, pl.ds(row0 + tile_h, 1)],
-                    buf.at[slot, pl.ds(tile_h + 1, 1)],
-                    in_sems.at[slot, off + 2],
-                ).wait()
+                buf[slot, 0, :, :] = zrow
 
             @pl.when(j == n_tiles - 1)
             def _():
-                buf[slot, tile_h + 1, :, :] = jnp.zeros(
-                    (buf.shape[2], buf.shape[3]), buf.dtype
-                )
+                buf[slot, tile_h + 1, :, :] = zrow
 
     def out_copy(j, slot):
         return pltpu.make_async_copy(
@@ -931,19 +944,21 @@ def _bwd_train_kernel(
             preferred_element_type=jnp.float32,
         ).reshape(tile_h + 2, wp, pc)
 
+        # The W-dim shift is row-independent, so the +-1 shifted variants
+        # of each slab are computed ONCE over the (TH+2) slab and row-
+        # windowed per tap — the naive per-(di,dj) formulation rebuilt 12
+        # shifted tiles per step, each a lane-rotate (the expensive part
+        # on packed stages).
+        dm_next = shift_pixels(dm, +1)   # pixel w+1 (for dj == 0)
+        dm_prev = shift_pixels(dm, -1)   # pixel w-1 (for dj == 2)
+
         # dz: correlate dm with flipped taps (grad w.r.t. the conv INPUT z)
         dz = jnp.zeros((tile_h, wp, pc), jnp.float32)
         for di in range(3):
-            rows = dm[2 - di : 2 - di + tile_h]
-            for dj in range(3):
+            sl = slice(2 - di, 2 - di + tile_h)
+            for dj, src in ((0, dm_next), (1, dm), (2, dm_prev)):
                 tap = dwk_ref[di, dj].astype(jnp.float32)
-                if dj == 0:
-                    shifted = shift_pixels(rows, +1)
-                elif dj == 2:
-                    shifted = shift_pixels(rows, -1)
-                else:
-                    shifted = rows
-                dz = dz + shifted * tap[None, None, :]
+                dz = dz + src[sl] * tap[None, None, :]
 
         if in_affine:
             x_center = xbuf[slot, pl.ds(1, tile_h)].astype(jnp.float32)
@@ -960,34 +975,34 @@ def _bwd_train_kernel(
         dxbuf[slot] = dz.astype(dxbuf.dtype)
         out_copy(j, slot).start()
 
-        # --- weight grads: need the conv input z (recompute from x) ---
+        # --- weight grads: need the conv input z (recomputed from the
+        # pre-affine x ONCE over the slab, then row-windowed per tap) ---
+        if in_affine:
+            x_slab = xbuf[slot].astype(jnp.float32)
+            z_slab = jnp.maximum(
+                x_slab * in_aff_ref[0][None, None, :]
+                + in_aff_ref[1][None, None, :],
+                0.0,
+            )
+            # virtual rows of the slab must stay zero in z-space
+            row_ids = jax.lax.broadcasted_iota(
+                jnp.int32, (tile_h + 2, 1, 1), 0
+            )
+            gr = j * tile_h + row_ids - 1
+            virt = jnp.logical_or(gr < 0, gr >= n_tiles * tile_h)
+            z_slab = jnp.where(virt, 0.0, z_slab)
+        else:
+            z_slab = xbuf[slot].astype(jnp.float32)
+        z_next = shift_pixels(z_slab, +1)    # pixel w+1 (for dj == 2)
+        z_prev = shift_pixels(z_slab, -1)    # pixel w-1 (for dj == 0)
+
         dm_center = dm[1 : 1 + tile_h]
         m = jnp.zeros((tile_h, wp, pc), jnp.float32)
         ddw_rows = []
         for di in range(3):
-            xrows = xbuf[slot, pl.ds(di, tile_h)].astype(jnp.float32)
-            if in_affine:
-                w_rows = (
-                    xrows * in_aff_ref[0][None, None, :]
-                    + in_aff_ref[1][None, None, :]
-                )
-                zrows = jnp.maximum(w_rows, 0.0)
-                # virtual rows of the slab must stay zero in z-space
-                row_ids = jax.lax.broadcasted_iota(
-                    jnp.int32, (tile_h, 1, 1), 0
-                )
-                gr = j * tile_h + row_ids + di - 1
-                virt = jnp.logical_or(gr < 0, gr >= n_tiles * tile_h)
-                zrows = jnp.where(virt, 0.0, zrows)
-            else:
-                zrows = xrows
-            for dj in range(3):
-                if dj == 0:
-                    zs = shift_pixels(zrows, -1)
-                elif dj == 2:
-                    zs = shift_pixels(zrows, +1)
-                else:
-                    zs = zrows
+            sl = slice(di, di + tile_h)
+            for dj, src in ((0, z_prev), (1, z_slab), (2, z_next)):
+                zs = src[sl]
                 ddw_rows.append(jnp.sum(zs * dm_center, axis=(0, 1)))
                 tap = dwk_ref[di, dj].astype(jnp.float32)
                 m = m + zs * tap[None, None, :]
@@ -1039,7 +1054,9 @@ def _pick_tile_h_bwd3(h: int, wp: int, pc: int, pf: int, combine: bool) -> int:
     slack = 1.4
     n_slabs_pf = 2 + (2 if combine else 0)  # g (+ y) double-buffered
     per_slab_row = wp * 2 * (2 * pc + n_slabs_pf * pf)
-    per_body_row = wp * (2 * pc + 4 * pc + 4 * pc + 4 * pc + (4 * pf if combine else 0))
+    # body temporaries: phase 1 holds gy(f32 pf) + dm/dm_next/dm_prev +
+    # dz (f32 pc); phase 2 holds dm + z/z_next/z_prev + m (f32 pc)
+    per_body_row = wp * (4 * pf + 16 * pc + (4 * pf if combine else 0))
     fixed = pc * pf * 8
     for tile in (64, 32, 16, 8, 4, 2, 1):
         if h % tile:
@@ -1133,7 +1150,7 @@ def _bwd_train_packed(
             pltpu.VMEM((16, pc), jnp.float32),
             pltpu.VMEM((pc, pf), jnp.float32),
             pltpu.VMEM((8, pc), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 9)),
+            pltpu.SemaphoreType.DMA((2, 3)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
@@ -1360,7 +1377,6 @@ def _chain_fwd_impl(n_blocks, eps, axis_name, pool_p2, in_p, z_in, flat_params):
         and p >= 2
         and (p * f_last) % fs.LANE == 0
         and h % 2 == 0
-        and pool_p2 in (p, p // 2)
         and (w // 2) % pool_p2 == 0
     )
     if tail_ok:
@@ -1388,8 +1404,8 @@ def _chain_fwd_impl(n_blocks, eps, axis_name, pool_p2, in_p, z_in, flat_params):
             z_p, pooled = fused_tail
             if pool_p2 != p // 2:
                 # kernel emits pack p//2; one XLA repack to the next
-                # stage's factor (only the stage-1 -> stage-2 boundary,
-                # where the padded-input pack equals the next chain's)
+                # stage's factor (stage boundaries where channel counts
+                # don't exactly double, e.g. the padded 3-channel stage)
                 pooled = pooled.reshape(b, h // 2, w // 2, f_last).reshape(
                     b, h // 2, (w // 2) // pool_p2, pool_p2 * f_last
                 )
