@@ -284,7 +284,7 @@ class TransposeUp(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, out_pack: int = 1) -> jax.Array:
         c = x.shape[-1]
         kernel = self.param(
             "kernel", glorot_uniform, (2, 2, self.features, c), jnp.float32
@@ -294,4 +294,8 @@ class TransposeUp(nn.Module):
             if self.use_bias
             else None
         )
+        if out_pack > 1:
+            return conv_ops.conv_transpose_2x2_packed(
+                x.astype(self.dtype), kernel, bias, out_pack
+            )
         return conv_ops.conv_transpose_2x2(x.astype(self.dtype), kernel, bias)

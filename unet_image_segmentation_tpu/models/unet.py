@@ -95,7 +95,14 @@ class UNet(nn.Module):
             p2 = b2(x, train, params_only=True, in_features=feats)
             return p1, p2
 
-        def run_pair(x: jax.Array, feats: int, name1: str, name2: str) -> jax.Array:
+        def run_pair(
+            x: jax.Array,
+            feats: int,
+            name1: str,
+            name2: str,
+            in_packed: Optional[int] = None,
+            c_in: Optional[int] = None,
+        ) -> jax.Array:
             b1, b2 = block(feats, name1), block(feats, name2)
             if not use_chain:
                 return b2(b1(x, train), train)
@@ -103,13 +110,15 @@ class UNet(nn.Module):
                 fused_chain_train,
             )
 
-            p1 = b1(x, train, params_only=True, in_features=x.shape[-1])
+            c0 = c_in if c_in is not None else x.shape[-1]
+            p1 = b1(x, train, params_only=True, in_features=c0)
             p2 = b2(x, train, params_only=True, in_features=feats)
             z, stats = fused_chain_train(
                 x.astype(self.dtype),
                 [(p[0], p[1], p[2], p[3]) for p in (p1, p2)],
                 eps=1e-3,
                 axis_name=self.bn_axis_name,
+                in_packed=in_packed,
             )
             _update_bn(stats, (p1, p2))
             return z
@@ -177,6 +186,51 @@ class UNet(nn.Module):
         rev_skips = list(reversed(skips))
         for i, f in enumerate(rev_filters):
             stage = depth - i
+            has_dropout = self.dropout_rate > 0.0 and i < depth - 1
+            # Packed decoder feed (training chain only): the upsample's
+            # row parity splits into two (C, 2F) matmuls whose stacked
+            # output IS pack-2 layout (no 6D-transpose pixel shuffle),
+            # the packed encoder skip repacks with one reshape, and one
+            # chunk-interleave builds the concat directly in the chain's
+            # packed layout — the chain consumes it with in_packed, so no
+            # separate concat + pack-reshape copies.  Dropout (when this
+            # stage has it) applies elementwise on the packed tensor:
+            # same per-element distribution, mask arrangement differs
+            # from the unpacked path (both are valid dropout samples).
+            p_dec = (
+                chain_pack_of([2 * f, f, f], 2 * x.shape[2])
+                if use_chain
+                else 1
+            )
+            if train and use_chain and p_dec >= 2 and isinstance(rev_skips[i], tuple):
+                up_p = TransposeUp(
+                    features=f, dtype=self.dtype, name=f"dec{stage}_upsample"
+                )(x, out_pack=p_dec)
+                z_p, p_skip, (bsz, sh, sw, sf) = rev_skips[i]
+                skip_p = z_p.reshape(bsz, sh, sw, sf).reshape(
+                    bsz, sh, sw // p_dec, p_dec * sf
+                )
+                wp_d = sw // p_dec
+                u4 = up_p.reshape(bsz, sh, wp_d, p_dec, f)
+                s4 = skip_p.reshape(bsz, sh, wp_d, p_dec, sf)
+                cat = jnp.stack([u4, s4], axis=4).reshape(
+                    bsz, sh, wp_d, p_dec * 2 * f
+                )
+                if has_dropout:
+                    cat = nn.Dropout(
+                        rate=self.dropout_rate,
+                        deterministic=False,
+                        name=f"dec{stage}_dropout",
+                    )(cat)
+                x = run_pair(
+                    cat,
+                    f,
+                    f"dec{stage}_block1",
+                    f"dec{stage}_block2",
+                    in_packed=p_dec,
+                    c_in=2 * f,
+                )
+                continue
             x = TransposeUp(features=f, dtype=self.dtype, name=f"dec{stage}_upsample")(x)
             skip = rev_skips[i]
             if isinstance(skip, tuple):  # packed skip from the fused encoder
@@ -184,7 +238,6 @@ class UNet(nn.Module):
                 skip = (
                     z_p.reshape(bsz, sh, sw, sf) if p_skip > 1 else z_p
                 )
-            has_dropout = self.dropout_rate > 0.0 and i < depth - 1
             if train:
                 # training keeps the concat: dropout's one mask spans both
                 # halves (u_net.py:96-99), and the factored backward is

@@ -178,6 +178,45 @@ def conv_transpose_2x2(
     return y
 
 
+def conv_transpose_2x2_packed(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: Optional[jax.Array] = None,
+    out_pack: int = 2,
+) -> jax.Array:
+    """:func:`conv_transpose_2x2` emitting a PACKED ``(B, 2H, 2W/p, p*F)``
+    output for the fused training chain's lane-packed layout.
+
+    With kernel == stride the output row parity selects the ``di`` taps,
+    so the op splits into two ``(C, 2F)`` matmuls whose column order
+    ``(dj, f)`` IS the pack-2 chunk layout: a leading-dim stack
+    interleaves the row parities with no 6D transpose (the transpose in
+    the unpacked form costs a multi-ms layout copy per decoder stage on
+    the 256px train step).  ``out_pack > 2`` adds one repack reshape.
+    """
+    b, h, w, c = x.shape
+    kh, kw, f, c_in = kernel.shape
+    assert (kh, kw) == (2, 2) and c_in == c, (kernel.shape, x.shape)
+    assert out_pack >= 2 and (2 * w) % out_pack == 0
+    wmat = jnp.transpose(kernel, (3, 0, 1, 2)).reshape(c, 4 * f).astype(x.dtype)
+    y_lo = jnp.einsum(
+        "bhwc,cf->bhwf", x, wmat[:, : 2 * f], preferred_element_type=x.dtype
+    )
+    y_hi = jnp.einsum(
+        "bhwc,cf->bhwf", x, wmat[:, 2 * f :], preferred_element_type=x.dtype
+    )
+    if bias is not None:
+        b2 = jnp.tile(bias.astype(y_lo.dtype), 2)
+        y_lo = y_lo + b2
+        y_hi = y_hi + b2
+    up2 = jnp.stack([y_lo, y_hi], axis=2).reshape(b, 2 * h, w, 2 * f)
+    if out_pack != 2:
+        up2 = up2.reshape(b, 2 * h, 2 * w, f).reshape(
+            b, 2 * h, (2 * w) // out_pack, out_pack * f
+        )
+    return up2
+
+
 def max_pool_2x2(x: jax.Array) -> jax.Array:
     """2x2 stride-2 max pool (reference enc pooling, u_net.py:69).
 

@@ -1729,6 +1729,7 @@ def fused_chain_train(
     blocks: Sequence[Tuple[jax.Array, jax.Array, jax.Array, jax.Array]],
     eps: float = 1e-3,
     axis_name: Optional[str] = None,
+    in_packed: Optional[int] = None,
 ):
     """Train-mode ConvBlock chain: z_in -> [sepconv -> BN -> ReLU] x N.
 
@@ -1737,13 +1738,23 @@ def fused_chain_train(
     ``(z_out, ((batch_mean, batch_var), ...))`` — the moments feed the
     running-stat updates.  Differentiable via the fused Pallas backward;
     per-block XLA fallback when no lane packing fits (e.g. 3-channel
-    input).  Rebuilds the reference conv_block chain semantics
-    (reference model/u_net.py:5-26, Keras BN eps 1e-3, biased variance).
+    input).  ``in_packed``: the input already arrives in the chain's
+    packed ``(B, H, W/p, p*C)`` layout (e.g. the decoder's fused
+    upsample+concat feed) — must equal the chain's own pack factor; the
+    output leaves unpacked either way.  Rebuilds the reference
+    conv_block chain semantics (reference model/u_net.py:5-26, Keras BN
+    eps 1e-3, biased variance).
     """
-    z_in, blocks = _pad_narrow_input(z_in, blocks)
-    prepped = _prep_blocks(z_in.dtype, z_in.shape[-1], blocks)
+    if in_packed in (None, 1):
+        z_in, blocks = _pad_narrow_input(z_in, blocks)
+        in_p = None
+        c0 = z_in.shape[-1]
+    else:
+        in_p = in_packed
+        c0 = z_in.shape[-1] // in_p
+    prepped = _prep_blocks(z_in.dtype, c0, blocks)
     flat = _flatten_params(prepped)
-    return _chain_core(len(prepped), eps, axis_name, None, None, z_in, *flat)
+    return _chain_core(len(prepped), eps, axis_name, None, in_p, z_in, *flat)
 
 
 def chain_pack_of(channels, w: int) -> int:
