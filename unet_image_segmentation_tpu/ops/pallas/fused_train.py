@@ -774,6 +774,7 @@ def _bwd_train_kernel(
     *,
     tile_h: int,
     n_tiles: int,
+    super_k: int,
     c: int,
     in_affine: bool,
     combine: bool,
@@ -794,85 +795,88 @@ def _bwd_train_kernel(
     wp = xbuf.shape[2]
     pc = xbuf.shape[3]
     pf = gbuf.shape[3]
+    S = super_k * tile_h          # rows moved per DMA super-tile
+    n_super = n_tiles // super_k
 
     streams = [(x_hbm, xbuf), (g_hbm, gbuf)]
     if combine:
         streams.append((y_hbm, ybuf))
 
-    # ONE slab DMA per stream per tile (rows [row0-1, row0+tile_h] into
-    # buf[0:tile_h+2]), with shortened edge variants that keep the copy in
-    # range and leave the virtual halo row for a zero-fill.  Re-reading
-    # the two halo rows costs 2/tile_h extra traffic — far cheaper than
-    # the 3 single-row DMAs per stream this replaces (small DMAs are
-    # latency-bound, and 6 of them per tile serialized the pipeline).
-    def _edge_cases(j, slot, base, verb):
+    # ONE slab DMA per stream per SUPER-tile (rows [row0-1, row0+S] into
+    # buf[0:S+2]), with shortened edge variants that keep the copy in
+    # range and leave the virtual halo row for a zero-fill; compute then
+    # walks the slab in `super_k` sub-windows of `tile_h` rows (the
+    # f32 temporaries bound the compute window, the DMA efficiency wants
+    # the largest transfers VMEM affords — measured on v5e the 16-row
+    # DMA pattern streamed at ~280 GB/s vs ~370 GB/s for 32-row slabs).
+    def _edge_cases(js, slot, base, verb):
         hbm, buf = streams[base]
-        row0 = j * tile_h
+        row0 = js * S
         sem = in_sems.at[slot, base]
 
-        @pl.when(j == 0)
+        @pl.when(js == 0)
         def _():
             cp = pltpu.make_async_copy(
-                hbm.at[b, pl.ds(0, tile_h + 1)],
-                buf.at[slot, pl.ds(1, tile_h + 1)],
+                hbm.at[b, pl.ds(0, S + 1)],
+                buf.at[slot, pl.ds(1, S + 1)],
                 sem,
             )
             getattr(cp, verb)()
 
-        @pl.when(j == n_tiles - 1)
+        @pl.when(js == n_super - 1)
         def _():
             cp = pltpu.make_async_copy(
-                hbm.at[b, pl.ds(row0 - 1, tile_h + 1)],
-                buf.at[slot, pl.ds(0, tile_h + 1)],
+                hbm.at[b, pl.ds(row0 - 1, S + 1)],
+                buf.at[slot, pl.ds(0, S + 1)],
                 sem,
             )
             getattr(cp, verb)()
 
-        @pl.when(jnp.logical_and(j > 0, j < n_tiles - 1))
+        @pl.when(jnp.logical_and(js > 0, js < n_super - 1))
         def _():
             cp = pltpu.make_async_copy(
-                hbm.at[b, pl.ds(row0 - 1, tile_h + 2)], buf.at[slot], sem
+                hbm.at[b, pl.ds(row0 - 1, S + 2)], buf.at[slot], sem
             )
             getattr(cp, verb)()
 
-    def start_in(j, slot):
+    def start_in(js, slot):
         for base in range(len(streams)):
-            if n_tiles == 1:
+            if n_super == 1:
                 hbm, buf = streams[base]
                 pltpu.make_async_copy(
                     hbm.at[b],
-                    buf.at[slot, pl.ds(1, tile_h)],
+                    buf.at[slot, pl.ds(1, S)],
                     in_sems.at[slot, base],
                 ).start()
             else:
-                _edge_cases(j, slot, base, "start")
+                _edge_cases(js, slot, base, "start")
 
-    def wait_in(j, slot):
+    def wait_in(js, slot):
         for base in range(len(streams)):
-            if n_tiles == 1:
+            if n_super == 1:
                 hbm, buf = streams[base]
                 pltpu.make_async_copy(
                     hbm.at[b],
-                    buf.at[slot, pl.ds(1, tile_h)],
+                    buf.at[slot, pl.ds(1, S)],
                     in_sems.at[slot, base],
                 ).wait()
             else:
-                _edge_cases(j, slot, base, "wait")
+                _edge_cases(js, slot, base, "wait")
         for _, buf in streams:
             zrow = jnp.zeros((buf.shape[2], buf.shape[3]), buf.dtype)
 
-            @pl.when(j == 0)
+            @pl.when(js == 0)
             def _():
                 buf[slot, 0, :, :] = zrow
 
-            @pl.when(j == n_tiles - 1)
+            @pl.when(js == n_super - 1)
             def _():
-                buf[slot, tile_h + 1, :, :] = zrow
+                buf[slot, S + 1, :, :] = zrow
 
-    def out_copy(j, slot):
+    def out_copy(js, slot):
         return pltpu.make_async_copy(
             dxbuf.at[slot],
-            dx_hbm.at[b, pl.ds(j * tile_h, tile_h)],
+            dx_hbm.at[b, pl.ds(js * S, S)],
             out_sems.at[slot],
         )
 
@@ -900,23 +904,15 @@ def _bwd_train_kernel(
             [q_prev[:, :, tail:], rows[:, :, :tail]], axis=-1
         )
 
-    def body(j, _):
-        slot = jax.lax.rem(j, 2)
+    def sub_window(js, slot, k):
+        """Compute one tile_h-row sub-window of the resident super-slab."""
+        base = k * tile_h                 # slab-row offset of this window
+        row0 = js * S + base              # global row of the window's top
 
-        @pl.when(j + 1 < n_tiles)
-        def _():
-            start_in(j + 1, jax.lax.rem(j + 1, 2))
-
-        wait_in(j, slot)
-
-        @pl.when(j >= 2)
-        def _():
-            out_copy(j - 2, slot).wait()
-
-        # --- build gy over the (TH+2) slab ---
-        g_all = gbuf[slot]
+        # --- build gy over the (TH+2) window ---
+        g_all = gbuf[slot, pl.ds(base, tile_h + 2)]
         if combine:
-            yf = ybuf[slot].astype(jnp.float32)
+            yf = ybuf[slot, pl.ds(base, tile_h + 2)].astype(jnp.float32)
             gf = g_all.astype(jnp.float32)
             if mask_combine:
                 w_out = yf * comb_ref[4][None, None, :] + comb_ref[5][None, None, :]
@@ -931,7 +927,7 @@ def _bwd_train_kernel(
             row_ids = jax.lax.broadcasted_iota(
                 jnp.int32, (tile_h + 2, 1, 1), 0
             )
-            gr = j * tile_h + row_ids - 1
+            gr = row0 + row_ids - 1
             virt = jnp.logical_or(gr < 0, gr >= n_tiles * tile_h)
             gy = jnp.where(virt, 0.0, gy)
             gy_cast = gy.astype(g_hbm.dtype)
@@ -945,10 +941,10 @@ def _bwd_train_kernel(
         ).reshape(tile_h + 2, wp, pc)
 
         # The W-dim shift is row-independent, so the +-1 shifted variants
-        # of each slab are computed ONCE over the (TH+2) slab and row-
-        # windowed per tap — the naive per-(di,dj) formulation rebuilt 12
-        # shifted tiles per step, each a lane-rotate (the expensive part
-        # on packed stages).
+        # of each slab are computed ONCE over the window and row-windowed
+        # per tap — the naive per-(di,dj) formulation rebuilt 12 shifted
+        # tiles per step, each a lane-rotate (the expensive part on
+        # packed stages).
         dm_next = shift_pixels(dm, +1)   # pixel w+1 (for dj == 0)
         dm_prev = shift_pixels(dm, -1)   # pixel w-1 (for dj == 2)
 
@@ -960,8 +956,19 @@ def _bwd_train_kernel(
                 tap = dwk_ref[di, dj].astype(jnp.float32)
                 dz = dz + src[sl] * tap[None, None, :]
 
+        # cross-sublane column reductions ride the MXU as ones-matvecs
+        # instead of VPU tree reductions
+        ones_row = jnp.ones((1, tile_h * wp), jnp.float32)
+
+        def colsum(t):
+            return jax.lax.dot(
+                ones_row,
+                t.reshape(tile_h * wp, t.shape[-1]),
+                preferred_element_type=jnp.float32,
+            )[0]
+
         if in_affine:
-            x_center = xbuf[slot, pl.ds(1, tile_h)].astype(jnp.float32)
+            x_center = xbuf[slot, pl.ds(base + 1, tile_h)].astype(jnp.float32)
             w_in = (
                 x_center * in_aff_ref[0][None, None, :]
                 + in_aff_ref[1][None, None, :]
@@ -970,15 +977,14 @@ def _bwd_train_kernel(
             xhat = (
                 x_center - in_aff_ref[2][None, None, :]
             ) * in_aff_ref[3][None, None, :]
-            st_acc[0, :] = st_acc[0, :] + jnp.sum(dz, axis=(0, 1))
-            st_acc[1, :] = st_acc[1, :] + jnp.sum(dz * xhat, axis=(0, 1))
-        dxbuf[slot] = dz.astype(dxbuf.dtype)
-        out_copy(j, slot).start()
+            st_acc[0, :] = st_acc[0, :] + colsum(dz)
+            st_acc[1, :] = st_acc[1, :] + colsum(dz * xhat)
+        dxbuf[slot, pl.ds(base, tile_h)] = dz.astype(dxbuf.dtype)
 
         # --- weight grads: need the conv input z (recomputed from the
-        # pre-affine x ONCE over the slab, then row-windowed per tap) ---
+        # pre-affine x ONCE over the window, then row-windowed per tap) ---
         if in_affine:
-            x_slab = xbuf[slot].astype(jnp.float32)
+            x_slab = xbuf[slot, pl.ds(base, tile_h + 2)].astype(jnp.float32)
             z_slab = jnp.maximum(
                 x_slab * in_aff_ref[0][None, None, :]
                 + in_aff_ref[1][None, None, :],
@@ -988,11 +994,11 @@ def _bwd_train_kernel(
             row_ids = jax.lax.broadcasted_iota(
                 jnp.int32, (tile_h + 2, 1, 1), 0
             )
-            gr = j * tile_h + row_ids - 1
+            gr = row0 + row_ids - 1
             virt = jnp.logical_or(gr < 0, gr >= n_tiles * tile_h)
             z_slab = jnp.where(virt, 0.0, z_slab)
         else:
-            z_slab = xbuf[slot].astype(jnp.float32)
+            z_slab = xbuf[slot, pl.ds(base, tile_h + 2)].astype(jnp.float32)
         z_next = shift_pixels(z_slab, +1)    # pixel w+1 (for dj == 2)
         z_prev = shift_pixels(z_slab, -1)    # pixel w-1 (for dj == 0)
 
@@ -1003,7 +1009,7 @@ def _bwd_train_kernel(
             sl = slice(di, di + tile_h)
             for dj, src in ((0, z_prev), (1, z_slab), (2, z_next)):
                 zs = src[sl]
-                ddw_rows.append(jnp.sum(zs * dm_center, axis=(0, 1)))
+                ddw_rows.append(colsum(zs * dm_center))
                 tap = dwk_ref[di, dj].astype(jnp.float32)
                 m = m + zs * tap[None, None, :]
         ddw_tile = jnp.stack(
@@ -1013,7 +1019,7 @@ def _bwd_train_kernel(
         gy_center = (
             gy_cast[1 : 1 + tile_h]
             if combine
-            else gbuf[slot, pl.ds(1, tile_h)]
+            else gbuf[slot, pl.ds(base + 1, tile_h)]
         )
         dpw_tile = jax.lax.dot_general(
             m.reshape(tile_h * wp, pc).astype(g_hbm.dtype),
@@ -1024,15 +1030,32 @@ def _bwd_train_kernel(
 
         ddw_acc[...] = ddw_acc[...] + ddw_tile
         dpw_acc[...] = dpw_acc[...] + dpw_tile
+
+    def body(js, _):
+        slot = jax.lax.rem(js, 2)
+
+        @pl.when(js + 1 < n_super)
+        def _():
+            start_in(js + 1, jax.lax.rem(js + 1, 2))
+
+        wait_in(js, slot)
+
+        @pl.when(js >= 2)
+        def _():
+            out_copy(js - 2, slot).wait()
+
+        for k in range(super_k):
+            sub_window(js, slot, k)
+        out_copy(js, slot).start()
         return ()
 
-    jax.lax.fori_loop(0, n_tiles, body, (), unroll=False)
+    jax.lax.fori_loop(0, n_super, body, (), unroll=False)
 
-    @pl.when(n_tiles >= 2)
+    @pl.when(n_super >= 2)
     def _():
-        out_copy(n_tiles - 2, jax.lax.rem(n_tiles - 2, 2)).wait()
+        out_copy(n_super - 2, jax.lax.rem(n_super - 2, 2)).wait()
 
-    out_copy(n_tiles - 1, jax.lax.rem(n_tiles - 1, 2)).wait()
+    out_copy(n_super - 1, jax.lax.rem(n_super - 1, 2)).wait()
 
     first = b == 0
 
@@ -1049,22 +1072,39 @@ def _bwd_train_kernel(
         ssum_ref[...] = ssum_ref[...] + st_acc[...]
 
 
-def _pick_tile_h_bwd3(h: int, wp: int, pc: int, pf: int, combine: bool) -> int:
+def _pick_tile_h_bwd3(h, wp, pc, pf, combine):
+    """(compute_tile_rows, super_k): the DMA super-tile moves
+    ``super_k * tile`` rows per transfer (large transfers stream ~30%
+    faster than 16-row slabs on v5e), while the f32 body temporaries are
+    sized by the compute tile alone."""
     budget = fs.vmem_budget(9)
     slack = 1.4
-    n_slabs_pf = 2 + (2 if combine else 0)  # g (+ y) double-buffered
-    per_slab_row = wp * 2 * (2 * pc + n_slabs_pf * pf)
+    n_pf = 2 if combine else 1
+    in_row = 2 * wp * 2 * (pc + n_pf * pf)     # both slots, bf16
+    out_row = 2 * wp * 2 * pc
     # body temporaries: phase 1 holds gy(f32 pf) + dm/dm_next/dm_prev +
     # dz (f32 pc); phase 2 holds dm + z/z_next/z_prev + m (f32 pc)
     per_body_row = wp * (4 * pf + 16 * pc + (4 * pf if combine else 0))
     fixed = pc * pf * 8
-    for tile in (64, 32, 16, 8, 4, 2, 1):
-        if h % tile:
+    def fits(tile, S):
+        working = (
+            (S + 2) * in_row + S * out_row + tile * per_body_row + fixed
+        )
+        return working * slack <= budget
+
+    # largest compute tile that fits at S == tile, then grow the DMA
+    # super-tile while VMEM allows (the compute tile sets the per-window
+    # temporaries AND the 2-halo-row recompute overhead, so it wins ties)
+    for tile in (32, 16, 8, 4, 2, 1):
+        if h % tile or not fits(tile, tile):
             continue
-        working = (tile + 2) * per_slab_row + tile * per_body_row + fixed
-        if working * slack <= budget:
-            return tile
-    return 1
+        best_k = 1
+        for k in (8, 4, 2):
+            if (h // tile) % k == 0 and fits(tile, k * tile):
+                best_k = k
+                break
+        return tile, best_k
+    return 1, 1
 
 
 def _bwd_train_packed(
@@ -1106,18 +1146,20 @@ def _bwd_train_packed(
         else jnp.zeros((6, pf), jnp.float32)
     )
 
-    tile_h = _pick_tile_h_bwd3(h, wp, pc, pf, combine)
+    tile_h, super_k = _pick_tile_h_bwd3(h, wp, pc, pf, combine)
     n_tiles = h // tile_h
+    S = super_k * tile_h
     kernel = functools.partial(
         _bwd_train_kernel,
         tile_h=tile_h,
         n_tiles=n_tiles,
+        super_k=super_k,
         c=c,
         in_affine=in_affine,
         combine=combine,
         mask_combine=mask_combine,
     )
-    ybuf_shape = (2, tile_h + 2, wp, pf) if combine else (2, 1, 1, pf)
+    ybuf_shape = (2, S + 2, wp, pf) if combine else (2, 1, 1, pf)
     dx_p, ddw_p, dpw_p, st_p = pl.pallas_call(
         kernel,
         grid=(b,),
@@ -1143,10 +1185,10 @@ def _bwd_train_packed(
             jax.ShapeDtypeStruct((8, pc), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, tile_h + 2, wp, pc), xp.dtype),
-            pltpu.VMEM((2, tile_h + 2, wp, pf), gp.dtype),
+            pltpu.VMEM((2, S + 2, wp, pc), xp.dtype),
+            pltpu.VMEM((2, S + 2, wp, pf), gp.dtype),
             pltpu.VMEM(ybuf_shape, gp.dtype),
-            pltpu.VMEM((2, tile_h, wp, pc), xp.dtype),
+            pltpu.VMEM((2, S, wp, pc), xp.dtype),
             pltpu.VMEM((16, pc), jnp.float32),
             pltpu.VMEM((pc, pf), jnp.float32),
             pltpu.VMEM((8, pc), jnp.float32),
