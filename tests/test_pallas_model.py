@@ -93,3 +93,57 @@ def test_gradient_parity():
             np.asarray(flat_p[key]), np.asarray(v), atol=5e-4, rtol=5e-3,
             err_msg=key,
         )
+
+
+def test_default_width_regime_parity():
+    """The reference's default 64-wide filter ladder exercises DIFFERENT
+    kernel paths than the small test widths: pack-8 stage-1 chain whose
+    pooled output repacks to a non-p//2 factor, pack-2 chains, pack-1
+    (unpacked) chains with the XLA pool fallback, and the packed decoder
+    feed at p_dec == 2.  Pin train forward + batch stats + gradients
+    against the XLA model in that regime at a small spatial size."""
+    hw = 16
+    base = dict(image_height=hw, image_width=hw, filters=(64, 128), dropout_rate=0.0)
+    m_x = build_unet(ModelConfig(**base))
+    m_p = build_unet(ModelConfig(use_pallas=True, **base))
+    variables = init_unet(m_x, jax.random.PRNGKey(0), (hw, hw, 3))
+    x = jnp.asarray(np.random.RandomState(5).rand(2, hw, hw, 3), jnp.float32)
+    y_x, mut_x = m_x.apply(variables, x, train=True, mutable=["batch_stats"])
+    y_p, mut_p = m_p.apply(variables, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x), atol=1e-4, rtol=1e-4)
+    flat_p = dict(
+        (jax.tree_util.keystr(p), v)
+        for p, v in jax.tree_util.tree_leaves_with_path(mut_p["batch_stats"])
+    )
+    for path, v in jax.tree_util.tree_leaves_with_path(mut_x["batch_stats"]):
+        key = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(
+            np.asarray(flat_p[key]), np.asarray(v), atol=1e-4, rtol=1e-3,
+            err_msg=key,
+        )
+
+    masks = jnp.asarray(
+        (np.random.RandomState(6).rand(2, hw, hw, 1) > 0.5), jnp.float32
+    )
+
+    def loss(model):
+        def fn(params):
+            preds, _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, train=True, mutable=["batch_stats"],
+            )
+            return dice_loss(masks, preds)
+        return fn
+
+    g_x = jax.grad(loss(m_x))(variables["params"])
+    g_p = jax.grad(loss(m_p))(variables["params"])
+    flat_g = dict(
+        (jax.tree_util.keystr(p), v)
+        for p, v in jax.tree_util.tree_leaves_with_path(g_p)
+    )
+    for path, v in jax.tree_util.tree_leaves_with_path(g_x):
+        key = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(
+            np.asarray(flat_g[key]), np.asarray(v), atol=5e-4, rtol=5e-3,
+            err_msg=key,
+        )
