@@ -218,7 +218,7 @@ def test_predictor_pallas_fallback_warns(trained, monkeypatch):
     def boom(*a, **k):
         raise ValueError("forced for test")
 
-    monkeypatch.setattr(serving, "build_serving_forward", boom)
+    monkeypatch.setattr(serving, "build_serving_forward_chained", boom)
     with pytest.warns(RuntimeWarning, match="falling back"):
         predictor = Predictor(
             cfg.train.model_out, image_size=(HW, HW), use_pallas=True

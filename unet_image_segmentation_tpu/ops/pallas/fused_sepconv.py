@@ -103,6 +103,50 @@ def _pick_tile_h(h: int, wp: int, pc: int, vmem_budget: int = 10 * 1024 * 1024) 
 
 
 
+def _pool_sel_mats(pf: int, f: int, dtype):
+    """0/1 matrices selecting even/odd f-chunks of a pf-lane vector.
+
+    Mosaic lowers strided slices as gathers (unsupported >2D on TPU), so
+    chunk selection runs as two exact selection matmuls on the MXU
+    instead: ``x @ sel_e`` keeps chunks 0,2,4,... and ``x @ sel_o`` chunks
+    1,3,5,... — each output lane is a single copied input value, exact in
+    any dtype.  Built from 2D iotas inside the kernel (no operand DMA)."""
+    pfh = pf // 2
+    r = jax.lax.broadcasted_iota(jnp.int32, (pf, pfh), 0)
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (pf, pfh), 1)
+    src = (cidx // f) * (2 * f) + (cidx % f)
+    sel_e = (r == src).astype(dtype)
+    sel_o = (r == (src + f)).astype(dtype)
+    return sel_e, sel_o
+
+
+def _pool_expand_mats(pf: int, f: int, dtype):
+    """Transposes of :func:`_pool_sel_mats` (scatter back to full lanes)."""
+    pfh = pf // 2
+    r = jax.lax.broadcasted_iota(jnp.int32, (pfh, pf), 0)
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (pfh, pf), 1)
+    src = (r // f) * (2 * f) + (r % f)
+    exp_e = (cidx == src).astype(dtype)
+    exp_o = (cidx == (src + f)).astype(dtype)
+    return exp_e, exp_o
+
+
+def _pool_tile(zc, tile_h, wp, pf, sel_e, sel_o):
+    """2x2 max pool of a packed (tile_h, wp, p*f) tile -> packed p//2.
+
+    Requires p >= 2: both horizontal neighbours of every output pixel
+    live in the same sublane (adjacent f-chunks of the lane dim), so the
+    pool is a leading-dim row max + an even/odd chunk-selection max —
+    no strided slices, no lane reshapes."""
+    th2 = tile_h // 2
+    z2 = zc.reshape(th2, 2, wp, pf)
+    zv = jnp.maximum(z2[:, 0], z2[:, 1]).reshape(th2 * wp, pf)
+    a = jax.lax.dot(zv, sel_e, preferred_element_type=jnp.float32)
+    b = jax.lax.dot(zv, sel_o, preferred_element_type=jnp.float32)
+    return jnp.maximum(a, b).astype(zc.dtype).reshape(th2, wp, pf // 2)
+
+
+
 def _tile_sepconv(xslab, dwk_ref, pww_ref, tile_h, wp, pc, c):
     """Shared per-tile compute: 3x3 depthwise (9 shifted MACs) + pointwise.
 
@@ -865,16 +909,13 @@ def _sepconv_pair_kernel_db(
     dwk2_ref,     # (3, 3, pF1)
     pww2_ref,     # (pF1, pF2)
     aff2_ref,     # (2, pF2)
-    out_hbm,      # (B, H, Wp, pF2) ANY
-    xbuf,         # scratch (2, TH+4, Wp, pC)
-    ybuf,         # scratch (2, TH, Wp, pF2)
-    in_sems,      # (2, 3)
-    out_sems,     # (2,)
-    *,
+    *rest,        # [x2_hbm] + out_hbm + [p_ref] + scratches (see unpack)
     tile_h: int,
     n_tiles: int,
     c: int,
     f1: int,
+    pool_f: int = 0,   # F2 when a fused 2x2 pool output is requested
+    two_stream: bool = False,  # x + x2 interleaved per f-chunk in VMEM
 ):
     """Two chained sepconv+BN+ReLU blocks per tile; the intermediate
     activation never leaves VMEM (one fewer full HBM round trip per
@@ -887,70 +928,107 @@ def _sepconv_pair_kernel_db(
     padding must see ZERO y1 beyond the image, not the conv of the x
     zero-halo (which is nonzero wherever the 3x3 window reaches a real
     row).  Unsharded callers pass (0, 0) (slab edges == image edges,
-    handled by the virtual-row kills)."""
+    handled by the virtual-row kills).
+
+    With ``pool_f`` the kernel additionally emits pool(y2) into a
+    VMEM-resident per-batch block packed p//2 (``p_ref``) — the encoder's
+    2x2 max pool fused at the stage boundary, same selection-matmul
+    scheme as the training tail kernels."""
+    rest = list(rest)
+    x2_hbm = rest.pop(0) if two_stream else None
+    out_hbm = rest.pop(0)
+    p_ref = rest.pop(0) if pool_f else None
+    xbuf = rest.pop(0)
+    x2buf = rest.pop(0) if two_stream else None
+    ybuf, in_sems, out_sems = rest
     b = pl.program_id(0)
     wp = xbuf.shape[2]
-    pc = xbuf.shape[3]
+    pcs = xbuf.shape[3]          # per-stream lane width
+    pc = 2 * pcs if two_stream else pcs
     pf1 = pww1_ref.shape[1]
     pf2 = pww2_ref.shape[1]
+    if pool_f:
+        sel_e, sel_o = _pool_sel_mats(pf2, pool_f, xbuf.dtype)
+    if two_stream:
+        # cat chunk k (2f lanes) = [x chunk k (f) | x2 chunk k (f)]:
+        # exact 0/1 expansion matmuls build the concat slab in VMEM —
+        # materializing it in HBM costs two full extra streams plus the
+        # pad+maximum lowering XLA picks for lane interleaves.
+        fh = c // 2              # per-stream channels per pixel
+        r1 = jax.lax.broadcasted_iota(jnp.int32, (pcs, pc), 0)
+        c1 = jax.lax.broadcasted_iota(jnp.int32, (pcs, pc), 1)
+        e_up = (c1 == (r1 // fh) * 2 * fh + (r1 % fh)).astype(xbuf.dtype)
+        e_sk = (
+            c1 == (r1 // fh) * 2 * fh + fh + (r1 % fh)
+        ).astype(xbuf.dtype)
+
+    streams = [(x_hbm, xbuf, 0)]
+    if two_stream:
+        streams.append((x2_hbm, x2buf, 3))
 
     def start_in(j, slot):
         row0 = j * tile_h
-        pltpu.make_async_copy(
-            x_hbm.at[b, pl.ds(row0, tile_h)],
-            xbuf.at[slot, pl.ds(2, tile_h)],
-            in_sems.at[slot, 0],
-        ).start()
-
-        @pl.when(j > 0)
-        def _():
+        for hbm, buf, off in streams:
             pltpu.make_async_copy(
-                x_hbm.at[b, pl.ds(row0 - 2, 2)],
-                xbuf.at[slot, pl.ds(0, 2)],
-                in_sems.at[slot, 1],
+                hbm.at[b, pl.ds(row0, tile_h)],
+                buf.at[slot, pl.ds(2, tile_h)],
+                in_sems.at[slot, off],
             ).start()
 
-        @pl.when(j < n_tiles - 1)
-        def _():
-            pltpu.make_async_copy(
-                x_hbm.at[b, pl.ds(row0 + tile_h, 2)],
-                xbuf.at[slot, pl.ds(tile_h + 2, 2)],
-                in_sems.at[slot, 2],
-            ).start()
+            @pl.when(j > 0)
+            def _():
+                pltpu.make_async_copy(
+                    hbm.at[b, pl.ds(row0 - 2, 2)],
+                    buf.at[slot, pl.ds(0, 2)],
+                    in_sems.at[slot, off + 1],
+                ).start()
+
+            @pl.when(j < n_tiles - 1)
+            def _():
+                pltpu.make_async_copy(
+                    hbm.at[b, pl.ds(row0 + tile_h, 2)],
+                    buf.at[slot, pl.ds(tile_h + 2, 2)],
+                    in_sems.at[slot, off + 2],
+                ).start()
 
     def wait_in(j, slot):
         row0 = j * tile_h
-        pltpu.make_async_copy(
-            x_hbm.at[b, pl.ds(row0, tile_h)],
-            xbuf.at[slot, pl.ds(2, tile_h)],
-            in_sems.at[slot, 0],
-        ).wait()
-
-        @pl.when(j > 0)
-        def _():
+        for hbm, buf, off in streams:
             pltpu.make_async_copy(
-                x_hbm.at[b, pl.ds(row0 - 2, 2)],
-                xbuf.at[slot, pl.ds(0, 2)],
-                in_sems.at[slot, 1],
+                hbm.at[b, pl.ds(row0, tile_h)],
+                buf.at[slot, pl.ds(2, tile_h)],
+                in_sems.at[slot, off],
             ).wait()
 
-        @pl.when(j == 0)
-        def _():
-            xbuf[slot, 0, :, :] = jnp.zeros((wp, pc), xbuf.dtype)
-            xbuf[slot, 1, :, :] = jnp.zeros((wp, pc), xbuf.dtype)
+            @pl.when(j > 0)
+            def _():
+                pltpu.make_async_copy(
+                    hbm.at[b, pl.ds(row0 - 2, 2)],
+                    buf.at[slot, pl.ds(0, 2)],
+                    in_sems.at[slot, off + 1],
+                ).wait()
 
-        @pl.when(j < n_tiles - 1)
-        def _():
-            pltpu.make_async_copy(
-                x_hbm.at[b, pl.ds(row0 + tile_h, 2)],
-                xbuf.at[slot, pl.ds(tile_h + 2, 2)],
-                in_sems.at[slot, 2],
-            ).wait()
+            @pl.when(j == 0)
+            def _():
+                buf[slot, 0, :, :] = jnp.zeros((wp, buf.shape[3]), buf.dtype)
+                buf[slot, 1, :, :] = jnp.zeros((wp, buf.shape[3]), buf.dtype)
 
-        @pl.when(j == n_tiles - 1)
-        def _():
-            xbuf[slot, tile_h + 2, :, :] = jnp.zeros((wp, pc), xbuf.dtype)
-            xbuf[slot, tile_h + 3, :, :] = jnp.zeros((wp, pc), xbuf.dtype)
+            @pl.when(j < n_tiles - 1)
+            def _():
+                pltpu.make_async_copy(
+                    hbm.at[b, pl.ds(row0 + tile_h, 2)],
+                    buf.at[slot, pl.ds(tile_h + 2, 2)],
+                    in_sems.at[slot, off + 2],
+                ).wait()
+
+            @pl.when(j == n_tiles - 1)
+            def _():
+                buf[slot, tile_h + 2, :, :] = jnp.zeros(
+                    (wp, buf.shape[3]), buf.dtype
+                )
+                buf[slot, tile_h + 3, :, :] = jnp.zeros(
+                    (wp, buf.shape[3]), buf.dtype
+                )
 
     def out_copy(j, slot):
         return pltpu.make_async_copy(
@@ -975,7 +1053,21 @@ def _sepconv_pair_kernel_db(
             out_copy(j - 2, slot).wait()
 
         # block1 over TH+2 middle rows of the TH+4 slab
-        y1 = _tile_sepconv(xbuf[slot], dwk1_ref, pww1_ref, tile_h + 2, wp, pc, c)
+        if two_stream:
+            n_rows = (tile_h + 4) * wp
+            xs = (
+                jax.lax.dot(
+                    xbuf[slot].reshape(n_rows, pcs), e_up,
+                    preferred_element_type=jnp.float32,
+                )
+                + jax.lax.dot(
+                    x2buf[slot].reshape(n_rows, pcs), e_sk,
+                    preferred_element_type=jnp.float32,
+                )
+            ).astype(xbuf.dtype).reshape(tile_h + 4, wp, pc)
+        else:
+            xs = xbuf[slot]
+        y1 = _tile_sepconv(xs, dwk1_ref, pww1_ref, tile_h + 2, wp, pc, c)
         y1 = y1 * aff1_ref[0][None, :] + aff1_ref[1][None, :]
         y1 = jnp.maximum(y1, 0.0)
         y1 = y1.reshape(tile_h + 2, wp, pf1)
@@ -1002,8 +1094,13 @@ def _sepconv_pair_kernel_db(
         y2 = _tile_sepconv(y1, dwk2_ref, pww2_ref, tile_h, wp, pf1, f1)
         y2 = y2 * aff2_ref[0][None, :] + aff2_ref[1][None, :]
         y2 = jnp.maximum(y2, 0.0)
-        ybuf[slot] = y2.reshape(tile_h, wp, pf2).astype(ybuf.dtype)
+        y2c = y2.reshape(tile_h, wp, pf2).astype(ybuf.dtype)
+        ybuf[slot] = y2c
         out_copy(j, slot).start()
+        if pool_f:
+            p_ref[0, pl.ds(j * (tile_h // 2), tile_h // 2)] = _pool_tile(
+                y2c, tile_h, wp, pf2, sel_e, sel_o
+            )
         return ()
 
     jax.lax.fori_loop(0, n_tiles, body, (), unroll=False)
@@ -1027,13 +1124,30 @@ def _fold_affine(bias, bn_scale, bn_offset, bn_mean, bn_var, f, eps=1e-3):
     return scale, shift
 
 
+def pair_pack(c: int, f1: int, f2: int, w: int) -> Optional[int]:
+    """Common pack factor a ConvBlock pair runs at (None = no fit)."""
+    for cand in (1, 2, 4, 8, 16):
+        if (
+            (cand * c) % LANE == 0
+            and (cand * f1) % LANE == 0
+            and (cand * f2) % LANE == 0
+            and w % cand == 0
+        ):
+            return cand
+    return None
+
+
 def fused_sepconv_pair(
     x: jax.Array,
     block1: dict,
     block2: dict,
     eps: float = 1e-3,
     edge_flags: Optional[Tuple[jax.Array, jax.Array]] = None,
-) -> Optional[jax.Array]:
+    in_packed: Optional[int] = None,
+    out_packed: bool = False,
+    pool: bool = False,
+    x2: Optional[jax.Array] = None,
+):
     """Inference ConvBlock pair in one kernel (sepconv+BN+ReLU twice).
 
     ``block1``/``block2``: dicts with 'depthwise_kernel', 'pointwise_kernel',
@@ -1045,21 +1159,69 @@ def fused_sepconv_pair(
     ``lax.axis_index`` inside shard_map) marking whether x's top/bottom
     2 rows are zero halo rows at the TRUE image edge (spatially-sharded
     serving, see serving.build_serving_forward_sharded). None == (0, 0).
+
+    Packed-graph extensions (the chained serving forward threads stages
+    in lane-packed layout with zero conversions between kernels):
+
+    * ``in_packed``: x already arrives as ``(B, H, W/p, p*C)`` with the
+      pair's OWN pack factor (asserted);
+    * ``out_packed``: return y packed instead of reshaping back;
+    * ``pool``: also emit the stage's 2x2 max pool, packed ``p//2``
+      (requires p >= 2) — returns ``(y, p, pooled)``.
+
+    A 3-channel (or otherwise unpackable) input is zero-padded up to a
+    packable channel count together with block1's weights — exact, and
+    keeps the reference's input stage on the fused path.
     """
-    b, h, w, c = x.shape
+    if in_packed and in_packed > 1:
+        b, h, wp0, pc0 = x.shape
+        w, c = wp0 * in_packed, pc0 // in_packed
+        if x2 is not None:
+            # two packed streams, each f-chunk half of the concat input
+            assert x2.shape == x.shape, (x.shape, x2.shape)
+            c = 2 * c
+    else:
+        assert x2 is None, "x2 requires packed inputs (in_packed >= 2)"
+        b, h, w, c = x.shape
     f1 = block1["pointwise_kernel"].shape[-1]
     f2 = block2["pointwise_kernel"].shape[-1]
-    p = None
-    for cand in (1, 2, 4, 8, 16):
-        if (
-            (cand * c) % LANE == 0
-            and (cand * f1) % LANE == 0
-            and (cand * f2) % LANE == 0
-            and w % cand == 0
-        ):
-            p = cand
-            break
-    if p is None or h % 2:
+
+    def pick(cin):
+        for cand in (1, 2, 4, 8, 16):
+            if (
+                (cand * cin) % LANE == 0
+                and (cand * f1) % LANE == 0
+                and (cand * f2) % LANE == 0
+                and w % cand == 0
+            ):
+                return cand
+        return None
+
+    p = pick(c)
+    if p is None and (in_packed in (None, 1)):
+        # zero-pad narrow inputs (the 3-channel image) up to a packable
+        # count; prefer larger pads — pack factor grows as 128/c_pad
+        for c_pad in (16, 32, 8, 4):
+            if c_pad > c and pick(c_pad) is not None:
+                pad_c = c_pad - c
+                x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, pad_c)))
+                block1 = dict(
+                    block1,
+                    depthwise_kernel=jnp.pad(
+                        block1["depthwise_kernel"].reshape(3, 3, c),
+                        ((0, 0), (0, 0), (0, pad_c)),
+                    ),
+                    pointwise_kernel=jnp.pad(
+                        block1["pointwise_kernel"].reshape(c, f1),
+                        ((0, pad_c), (0, 0)),
+                    ),
+                )
+                c = c_pad
+                p = pick(c)
+                break
+    if p is None or h % 2 or (pool and p < 2):
+        return None
+    if in_packed and in_packed > 1 and in_packed != p:
         return None
 
     def prep(block, cin, fout):
@@ -1080,15 +1242,17 @@ def fused_sepconv_pair(
     dwk2, pww2, aff2 = prep(block2, f1, f2)
 
     wp, pc, pf1, pf2 = w // p, p * c, p * f1, p * f2
-    xp = x.reshape(b, h, wp, pc)
+    xp = x if (in_packed and in_packed > 1) else x.reshape(b, h, wp, pc)
     # working set: 2 slabs (TH+4) + y1 (TH+2) fp32+bf16 + y2 buffers
     budget, slack = vmem_budget(9), 1.4
+    resident = (h // 2) * wp * max(pf2 // 2, LANE) * 2 if pool else 0
     tile_h = 1
     for cand in (32, 16, 8, 4, 2):
         if h % cand:
             continue
         working = (
-            2 * (cand + 4) * wp * pc * 2
+            resident
+            + 2 * (cand + 4) * wp * pc * 2
             + (cand + 2) * wp * pf1 * (4 + 2)
             + cand * wp * pf2 * (4 + 2 * 2)
         )
@@ -1101,7 +1265,13 @@ def fused_sepconv_pair(
         return None
     n_tiles = h // tile_h
     kernel = functools.partial(
-        _sepconv_pair_kernel_db, tile_h=tile_h, n_tiles=n_tiles, c=c, f1=f1
+        _sepconv_pair_kernel_db,
+        tile_h=tile_h,
+        n_tiles=n_tiles,
+        c=c,
+        f1=f1,
+        pool_f=f2 if pool else 0,
+        two_stream=x2 is not None,
     )
     if edge_flags is None:
         edges = jnp.zeros((1, 2), jnp.int32)
@@ -1109,22 +1279,48 @@ def fused_sepconv_pair(
         edges = jnp.stack(
             [jnp.asarray(e, jnp.int32) for e in edge_flags]
         ).reshape(1, 2)
-    out = pl.pallas_call(
-        kernel,
-        grid=(b,),
-        in_specs=[
+    out_specs = pl.BlockSpec(memory_space=pl.ANY)
+    out_shape = jax.ShapeDtypeStruct((b, h, wp, pf2), x.dtype)
+    if pool:
+        out_specs = (
+            out_specs,
+            pl.BlockSpec(
+                (1, h // 2, wp, pf2 // 2),
+                lambda bi: (bi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct((b, h // 2, wp, pf2 // 2), x.dtype),
+        )
+    in_specs = (
+        [
             pl.BlockSpec((1, 2), lambda bi: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((b, h, wp, pf2), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, tile_h + 4, wp, pc), x.dtype),
-            pltpu.VMEM((2, tile_h, wp, pf2), x.dtype),
-            pltpu.SemaphoreType.DMA((2, 3)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
+    )
+    operands = [edges, xp, dwk1, pww1, aff1, dwk2, pww2, aff2]
+    scratch = [pltpu.VMEM((2, tile_h + 4, wp, xp.shape[-1]), x.dtype)]
+    if x2 is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        operands.append(x2)
+        scratch.append(
+            pltpu.VMEM((2, tile_h + 4, wp, x2.shape[-1]), x.dtype)
+        )
+    scratch += [
+        pltpu.VMEM((2, tile_h, wp, pf2), x.dtype),
+        pltpu.SemaphoreType.DMA((2, 6 if x2 is not None else 3)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=b * h * w * (9 * c + 2 * c * f1 + 9 * f1 + 2 * f1 * f2),
             bytes_accessed=b * h * w * (c + f2) * x.dtype.itemsize,
@@ -1132,5 +1328,11 @@ def fused_sepconv_pair(
         ),
         compiler_params=vmem_params(),
         interpret=_use_interpret(),
-    )(edges, xp, dwk1, pww1, aff1, dwk2, pww2, aff2)
+    )(*operands)
+    if pool:
+        y_p, pooled = out
+        y_ret = y_p if out_packed else y_p.reshape(b, h, w, f2)
+        return y_ret, p, pooled
+    if out_packed:
+        return out
     return out.reshape(b, h, w, f2)

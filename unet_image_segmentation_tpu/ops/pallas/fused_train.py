@@ -345,47 +345,9 @@ def _fwd_train_pallas(
 # last block's BN-backward reductions alongside.
 
 
-def _pool_sel_mats(pf: int, f: int, dtype):
-    """0/1 matrices selecting even/odd f-chunks of a pf-lane vector.
-
-    Mosaic lowers strided slices as gathers (unsupported >2D on TPU), so
-    chunk selection runs as two exact selection matmuls on the MXU
-    instead: ``x @ sel_e`` keeps chunks 0,2,4,... and ``x @ sel_o`` chunks
-    1,3,5,... — each output lane is a single copied input value, exact in
-    any dtype.  Built from 2D iotas inside the kernel (no operand DMA)."""
-    pfh = pf // 2
-    r = jax.lax.broadcasted_iota(jnp.int32, (pf, pfh), 0)
-    cidx = jax.lax.broadcasted_iota(jnp.int32, (pf, pfh), 1)
-    src = (cidx // f) * (2 * f) + (cidx % f)
-    sel_e = (r == src).astype(dtype)
-    sel_o = (r == (src + f)).astype(dtype)
-    return sel_e, sel_o
-
-
-def _pool_expand_mats(pf: int, f: int, dtype):
-    """Transposes of :func:`_pool_sel_mats` (scatter back to full lanes)."""
-    pfh = pf // 2
-    r = jax.lax.broadcasted_iota(jnp.int32, (pfh, pf), 0)
-    cidx = jax.lax.broadcasted_iota(jnp.int32, (pfh, pf), 1)
-    src = (r // f) * (2 * f) + (r % f)
-    exp_e = (cidx == src).astype(dtype)
-    exp_o = (cidx == (src + f)).astype(dtype)
-    return exp_e, exp_o
-
-
-def _pool_tile(zc, tile_h, wp, pf, sel_e, sel_o):
-    """2x2 max pool of a packed (tile_h, wp, p*f) tile -> packed p//2.
-
-    Requires p >= 2: both horizontal neighbours of every output pixel
-    live in the same sublane (adjacent f-chunks of the lane dim), so the
-    pool is a leading-dim row max + an even/odd chunk-selection max —
-    no strided slices, no lane reshapes."""
-    th2 = tile_h // 2
-    z2 = zc.reshape(th2, 2, wp, pf)
-    zv = jnp.maximum(z2[:, 0], z2[:, 1]).reshape(th2 * wp, pf)
-    a = jax.lax.dot(zv, sel_e, preferred_element_type=jnp.float32)
-    b = jax.lax.dot(zv, sel_o, preferred_element_type=jnp.float32)
-    return jnp.maximum(a, b).astype(zc.dtype).reshape(th2, wp, pf // 2)
+_pool_sel_mats = fs._pool_sel_mats
+_pool_expand_mats = fs._pool_expand_mats
+_pool_tile = fs._pool_tile
 
 
 def _tail_pool_kernel(

@@ -135,6 +135,190 @@ def build_serving_forward(
     )
 
 
+# ---------------------------------------------------------------------------
+# Chained packed serving graph — reuses the training-chain kernels in eval
+# mode (running-stats affines), keeping tensors lane-packed BETWEEN kernels
+# and fusing the encoder pools into the stage boundaries.  The pair-kernel
+# graph above spends ~36% of its 256px step in layout copies + reduce_window
+# pools around the pallas calls (profile_summary on v5e); this graph's
+# stages exchange packed tensors with no layout conversion at all.
+# ---------------------------------------------------------------------------
+
+
+def _eval_affine(blk: Dict[str, Any], eps: float = 1e-3):
+    """(a, b) f32 with activation = relu(a * y_raw + b): folded BN running
+    stats, or identity-scale + conv bias for BN-free blocks."""
+    pw = blk["pointwise_kernel"]
+    f = pw.shape[-1]
+    if "scale" in blk:
+        r = jax.lax.rsqrt(blk["var"].astype(jnp.float32) + eps)
+        a = blk["scale"].astype(jnp.float32) * r
+        b = blk["offset"].astype(jnp.float32) - blk["mean"].astype(jnp.float32) * a
+        return a, b
+    a = jnp.ones((f,), jnp.float32)
+    b = (
+        blk["bias"].astype(jnp.float32)
+        if blk.get("bias") is not None
+        else jnp.zeros((f,), jnp.float32)
+    )
+    return a, b
+
+
+def _chained_forward(
+    variables: Dict[str, Any],
+    num_classes: int,
+    depth: int,
+    compute_dtype: Any,
+) -> Callable[[jax.Array], jax.Array]:
+    from unet_image_segmentation_tpu.ops.pallas.fused_sepconv import pair_pack
+
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+
+    def pw_f(name):
+        return params[name]["sepconv"]["pointwise_kernel"].shape[-1]
+
+    def forward(x: jax.Array) -> jax.Array:
+        x = x.astype(compute_dtype)
+        bsz = x.shape[0]
+        h, w = x.shape[1], x.shape[2]
+        skips = []  # (z, pack, (h, w, f))
+        in_p = 1
+        for stage in range(1, depth + 1):
+            b1 = _block_dict(params, stats, f"enc{stage}_block1")
+            b2 = _block_dict(params, stats, f"enc{stage}_block2")
+            f2 = b2["pointwise_kernel"].shape[-1]
+            res = fused_sepconv_pair(
+                x,
+                b1,
+                b2,
+                in_packed=in_p if in_p > 1 else None,
+                out_packed=True,
+                pool=True,
+            )
+            if res is not None:
+                z_p, p, pooled = res
+                nxt = (
+                    f"enc{stage + 1}_block1"
+                    if stage < depth
+                    else "bneck_block1"
+                )
+                nxt2 = (
+                    f"enc{stage + 1}_block2"
+                    if stage < depth
+                    else "bneck_block2"
+                )
+                p2 = pair_pack(f2, pw_f(nxt), pw_f(nxt2), w // 2) or 1
+                if p2 != p // 2:
+                    pooled = pooled.reshape(bsz, h // 2, w // 2, f2).reshape(
+                        bsz, h // 2, (w // 2) // p2, p2 * f2
+                    )
+                skips.append((z_p, p, (h, w, f2)))
+                x, in_p = pooled, p2
+            else:
+                if in_p > 1:
+                    x = x.reshape(bsz, h, w, x.shape[-1] // in_p)
+                z = _pair(x, b1, b2)
+                skips.append((z, 1, (h, w, f2)))
+                x = conv_ops.max_pool_2x2(z)
+                in_p = 1
+            h, w = h // 2, w // 2
+
+        # --- bottleneck (no pool; unpacked output feeds the upsample) ---
+        b1 = _block_dict(params, stats, "bneck_block1")
+        b2 = _block_dict(params, stats, "bneck_block2")
+        pb = pair_pack(
+            x.shape[-1] if in_p == 1 else x.shape[-1] // in_p,
+            b1["pointwise_kernel"].shape[-1],
+            b2["pointwise_kernel"].shape[-1],
+            w,
+        )
+        if in_p > 1 and pb != in_p:
+            x = x.reshape(bsz, h, w, x.shape[-1] // in_p)
+            in_p = 1
+        y = fused_sepconv_pair(
+            x, b1, b2, in_packed=in_p if in_p > 1 else None
+        )
+        x = y if y is not None else _pair(
+            x if in_p == 1 else x.reshape(bsz, h, w, x.shape[-1] // in_p),
+            b1,
+            b2,
+        )
+
+        # --- decoder: packed upsample + concat feed where the pair packs ---
+        for i, stage in enumerate(range(depth, 0, -1)):
+            up = params[f"dec{stage}_upsample"]
+            z_skip, p_skip, (sh, sw, sf) = skips[depth - 1 - i]
+            f = up["kernel"].shape[2]
+            b1 = _block_dict(params, stats, f"dec{stage}_block1")
+            b2 = _block_dict(params, stats, f"dec{stage}_block2")
+            p_dec = pair_pack(
+                2 * f,
+                b1["pointwise_kernel"].shape[-1],
+                b2["pointwise_kernel"].shape[-1],
+                2 * w,
+            )
+            y = None
+            if p_dec and p_dec >= 2:
+                up_p = conv_ops.conv_transpose_2x2_packed(
+                    x, up["kernel"], up["bias"], out_pack=p_dec
+                )
+                if p_skip != p_dec:
+                    z_skip = (
+                        z_skip.reshape(bsz, sh, sw, sf)
+                        if p_skip > 1
+                        else z_skip
+                    ).reshape(bsz, sh, sw // p_dec, p_dec * sf)
+                # the pair kernel interleaves the [up | skip] concat
+                # chunks in VMEM from the two packed streams — no concat
+                # tensor ever reaches HBM
+                y = fused_sepconv_pair(
+                    up_p, b1, b2, in_packed=p_dec, x2=z_skip
+                )
+                if y is None:
+                    cat = jnp.concatenate(
+                        [
+                            t[..., k * f : (k + 1) * f]
+                            for k in range(p_dec)
+                            for t in (up_p, z_skip)
+                        ],
+                        axis=-1,
+                    )
+                    y = fused_sepconv_pair(cat, b1, b2, in_packed=p_dec)
+                if y is None:
+                    cat_u = cat.reshape(bsz, 2 * h, 2 * w, 2 * f)
+                    y = _pair(cat_u, b1, b2)
+            else:
+                xu = conv_ops.conv_transpose_2x2(x, up["kernel"], up["bias"])
+                skip = (
+                    z_skip.reshape(bsz, sh, sw, sf) if p_skip > 1 else z_skip
+                )
+                y = _pair(jnp.concatenate([xu, skip], axis=-1), b1, b2)
+            x = y
+            h, w = 2 * h, 2 * w
+
+        head = params["output_mask"]
+        logits = conv_ops.pointwise_conv2d(x, head["kernel"], head["bias"])
+        logits = logits.astype(jnp.float32)
+        if num_classes == 1:
+            return jax.nn.sigmoid(logits)
+        return jax.nn.softmax(logits, axis=-1)
+
+    return forward
+
+
+def build_serving_forward_chained(
+    variables: Dict[str, Any],
+    num_classes: int = 1,
+    depth: int = 4,
+    compute_dtype: Any = jnp.bfloat16,
+) -> Callable[[jax.Array], jax.Array]:
+    """Jitted chained-packed serving forward (see module comment above)."""
+    return jax.jit(
+        _chained_forward(variables, num_classes, depth, compute_dtype)
+    )
+
+
 def build_serving_forward_sharded(
     variables: Dict[str, Any],
     mesh: Mesh,
