@@ -196,12 +196,16 @@ def measure_infer(batch_size: int = 32, hw: int = HW) -> dict:
 
     from unet_image_segmentation_tpu.config import ModelConfig
     from unet_image_segmentation_tpu.models.unet import build_unet, init_unet
-    from unet_image_segmentation_tpu.serving import build_serving_forward
+    from unet_image_segmentation_tpu.serving import (
+        build_serving_forward_chained,
+    )
 
     cfg = ModelConfig(image_height=hw, image_width=hw)
     model = build_unet(cfg)
     variables = init_unet(model, jax.random.PRNGKey(0), cfg.input_shape)
-    forward = build_serving_forward(variables, compute_dtype=jnp.bfloat16)
+    forward = build_serving_forward_chained(
+        variables, compute_dtype=jnp.bfloat16
+    )
     x = jax.device_put(
         np.random.RandomState(0).rand(batch_size, hw, hw, 3).astype(np.float32)
     )
