@@ -7,7 +7,10 @@ import pytest
 
 from unet_image_segmentation_tpu.config import ModelConfig
 from unet_image_segmentation_tpu.models.unet import build_unet, init_unet
-from unet_image_segmentation_tpu.serving import build_serving_forward
+from unet_image_segmentation_tpu.serving import (
+    build_serving_forward,
+    build_serving_forward_chained,
+)
 
 HW = 32
 
@@ -28,6 +31,43 @@ def test_serving_matches_module_path(rng_np, filters, num_classes):
     got = np.asarray(forward(jnp.asarray(x)))
     expected = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
     assert got.shape == expected.shape
+    np.testing.assert_allclose(got, expected, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize(
+    "filters,num_classes", [((8, 16), 1), ((8, 16), 3), ((64, 128), 1)]
+)
+def test_chained_serving_matches_module_path(rng_np, filters, num_classes):
+    """The chained-packed graph (Predictor default): packed stage
+    threading, pair kernels with fused pool tails, two-stream decoder
+    concat.  (64, 128) covers the default-width pack regime (pack-8
+    stage 1 with a non-p//2 repack, p_dec=2 two-stream decoder)."""
+    hw = 32 if filters == (8, 16) else 16
+    cfg = ModelConfig(
+        image_height=hw, image_width=hw, filters=filters,
+        num_classes=num_classes, dropout_rate=0.0,
+    )
+    model = build_unet(cfg)
+    variables = init_unet(model, jax.random.PRNGKey(0), cfg.input_shape)
+    forward = build_serving_forward_chained(
+        variables, num_classes=num_classes, depth=len(filters),
+        compute_dtype=jnp.float32,
+    )
+    x = rng_np.rand(2, hw, hw, 3).astype(np.float32)
+    got = np.asarray(forward(jnp.asarray(x)))
+    expected = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    assert got.shape == expected.shape
+    np.testing.assert_allclose(got, expected, atol=2e-4, rtol=1e-3)
+
+
+def test_chained_serving_full_ladder(rng_np):
+    cfg = ModelConfig(image_height=32, image_width=32, dropout_rate=0.0)
+    model = build_unet(cfg)
+    variables = init_unet(model, jax.random.PRNGKey(1), cfg.input_shape)
+    forward = build_serving_forward_chained(variables, compute_dtype=jnp.float32)
+    x = rng_np.rand(1, 32, 32, 3).astype(np.float32)
+    got = np.asarray(forward(jnp.asarray(x)))
+    expected = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
     np.testing.assert_allclose(got, expected, atol=2e-4, rtol=1e-3)
 
 
