@@ -258,25 +258,35 @@ def measure_streaming(batch_size: int = 4, frame_hw=(1080, 1920), model_hw=1024)
     )
     _log(f"compiling streaming pipeline ({frame_hw} -> {model_hw}px) ...")
     stream(frames)  # end-to-end host call: compile + numerics exercised
-    # Steady-state rate: time the device-resident jitted pipeline and
-    # sync on one scalar.  The full host round trip ships ~33 MB per
-    # batch, which through this environment's tunneled device link takes
-    # ~1.2 s and measures the TUNNEL, not the chip (production PCIe moves
-    # it in ~2 ms and overlaps with compute in a real serving loop).
-    import jax
-
+    # Host-inclusive rate (this environment's tunneled device link ships
+    # the ~33 MB batch at ~25 MB/s, so here this mostly measures the
+    # TUNNEL; recorded anyway for the apples-to-apples ledger).
+    t0 = time.perf_counter()
+    n_host = 3
+    for _ in range(n_host):
+        stream(frames)
+    fps_host = batch_size * n_host / (time.perf_counter() - t0)
+    # Steady-state device-resident rate via the public entry: in a real
+    # serving loop frames stay device-side / transfers overlap compute.
     x_dev = jax.device_put(frames)
-    out = stream._fn(x_dev)
+    out = stream.run_device(x_dev)
     _sync_scalar(out.reshape(-1)[0])
     t0 = time.perf_counter()
     n = 10
     for _ in range(n):
-        out = stream._fn(x_dev)
+        out = stream.run_device(x_dev)
     _sync_scalar(out.reshape(-1)[0])
     dt = (time.perf_counter() - t0) / n
     fps = batch_size / dt
-    _log(f"streaming: {fps:.1f} fps ({dt * 1e3:.1f} ms/batch, device-resident)")
-    return {"fps": fps, "ms_per_batch": dt * 1e3}
+    _log(
+        f"streaming: {fps:.1f} fps device-resident ({dt * 1e3:.1f} ms/batch), "
+        f"{fps_host:.1f} fps host-inclusive (tunnel-bound here)"
+    )
+    return {
+        "fps_device_resident": fps,
+        "ms_per_batch_device_resident": dt * 1e3,
+        "fps_host_inclusive": fps_host,
+    }
 
 
 def measure_tf_baseline(batch_size: int = 2, steps: int = 8) -> float:
@@ -365,7 +375,10 @@ def main() -> None:
         extra["infer256_images_per_sec_per_chip"] = round(inf["images_per_sec"], 1)
     except Exception as e:
         _log(f"inference measurement failed: {e}")
-    if os.environ.get("BENCH_FULL") == "1":
+    # Full claims ledger by default (VERDICT r2 item 5): the 512px 3-class
+    # train row and the 1080p streaming row are driver-reproducible, not
+    # hand-written tables.  BENCH_FULL=0 skips them (e.g. quick local runs).
+    if os.environ.get("BENCH_FULL", "1") != "0":
         try:
             t512 = measure_train(8, 512, dtype, num_classes=3, loss="cce")
             extra["train512_3class_images_per_sec"] = round(
@@ -375,7 +388,12 @@ def main() -> None:
             _log(f"512px measurement failed: {e}")
         try:
             s = measure_streaming()
-            extra["streaming1080p_fps_per_chip"] = round(s["fps"], 1)
+            extra["streaming1080p_fps_per_chip"] = round(
+                s["fps_device_resident"], 1
+            )
+            extra["streaming1080p_fps_host_inclusive"] = round(
+                s["fps_host_inclusive"], 1
+            )
         except Exception as e:
             _log(f"streaming measurement failed: {e}")
 

@@ -70,3 +70,45 @@ def test_cli_config_file_plus_flag_override(tmp_path):
     cfg = config_from_args(args)
     assert cfg.train.epochs == 7        # from file
     assert cfg.train.batch_size == 16   # flag wins
+
+
+def test_cli_pallas_mesh_and_set_flags(tmp_path):
+    from unet_image_segmentation_tpu.cli.train import config_from_args, parse_args
+
+    # --pallas / --no-pallas (VERDICT r2: the fast path must be reachable
+    # from the train CLI, not only from bench.py)
+    cfg = config_from_args(parse_args(["--pallas"]))
+    assert cfg.model.use_pallas is True
+    cfg = config_from_args(parse_args(["--no-pallas"]))
+    assert cfg.model.use_pallas is False
+    # preset keeps its own value when no flag given
+    path = str(tmp_path / "p.json")
+    with open(path, "w") as f:
+        f.write(Config().override(model__use_pallas=True).to_json())
+    cfg = config_from_args(parse_args(["--config", path]))
+    assert cfg.model.use_pallas is True
+    cfg = config_from_args(parse_args(["--config", path, "--no-pallas"]))
+    assert cfg.model.use_pallas is False
+
+    # --mesh data,spatial -> mesh section consumed by fit()
+    cfg = config_from_args(parse_args(["--mesh", "4,2"]))
+    assert cfg.mesh.data_axis == 4 and cfg.mesh.spatial_axis == 2
+
+    # generic --set overrides (JSON-parsed values)
+    cfg = config_from_args(parse_args([
+        "--set", "model__use_pallas=true",
+        "--set", "data__prefetch=9",
+        "--set", "train__loss=bce",
+    ]))
+    assert cfg.model.use_pallas is True
+    assert cfg.data.prefetch == 9
+    assert cfg.train.loss == "bce"
+
+
+def test_tpu_presets_default_to_pallas():
+    """The shipped TPU training presets run the fused chains by default —
+    the flagship number is the product's number (VERDICT r2 item 1)."""
+    for name in ("tpu_train_256_bf16.json", "multiclass_512.json",
+                 "highres_1024.json"):
+        cfg = Config.from_json(open(os.path.join(REPO, "configs", name)).read())
+        assert cfg.model.use_pallas is True, name

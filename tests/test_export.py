@@ -105,6 +105,22 @@ def test_tflite_export_gated(small_model, tmp_path):
     assert y.shape == (1, HW, HW, 1)
     assert os.path.exists(str(tmp_path / "model_metadata.json"))
 
+    # In-file metadata (reference add_tflite_metadata.py parity, embedded
+    # WITHOUT tflite_support): the interpreter above already accepted the
+    # metadata-bearing file; now assert the flatbuffer + label zip read back.
+    from unet_image_segmentation_tpu.export.tflite_metadata import read_metadata
+
+    md = read_metadata(out)
+    assert md["name"] == "unet-image-segmentation-tpu"
+    assert md["version"] == "v1"
+    assert md["min_parser_version"] == "1.0.0"
+    assert "labels.txt" in md["associated_files"]
+    import zipfile
+
+    with zipfile.ZipFile(out) as z:
+        labels = z.read("labels.txt").decode().splitlines()
+    assert labels == ["background", "segmentation"]
+
 
 def test_tflite_int8_quantization(small_model, tmp_path):
     """Full-int8 quantization (the reference's commented-out scaffold,

@@ -166,3 +166,93 @@ def test_sharded_pallas_fused_block_matches(rng_np):
     got = np.asarray(sharded(jnp.asarray(x)))
     expected = np.asarray(block(jnp.asarray(x)))
     np.testing.assert_allclose(got, expected, atol=5e-4, rtol=1e-4)
+
+
+def test_dp_fused_chain_step_matches_single_device(rng_np):
+    """VERDICT r2 item 2: the fused Pallas training chains compose with the
+    mesh.  A shard_map-wrapped use_pallas train step (batch on 'data',
+    bn_axis_name threaded into the chain's psums) must reproduce the
+    single-device fused step's numerics — full forward + backward + AdamW,
+    not just one block."""
+    cfg = Config().override(
+        model__image_height=32, model__image_width=32,
+        model__filters=(8, 16), model__dropout_rate=0.0,
+        model__use_pallas=True, train__batch_size=8,
+    )
+    images = rng_np.rand(8, 32, 32, 3).astype(np.float32)
+    masks = (rng_np.rand(8, 32, 32, 1) > 0.5).astype(np.float32)
+
+    # single device, fused chains under plain jit
+    model1 = build_unet(cfg.model)
+    state1 = create_train_state(cfg, model=model1)
+    step1 = make_train_step(model1, donate=False)
+    new1, m1 = step1(state1, jnp.asarray(images), jnp.asarray(masks))
+
+    # 4-way DP via shard_map (2 samples/shard)
+    mesh = create_mesh(data=4, devices=jax.devices()[:4])
+    model2 = build_unet(cfg.model, bn_axis_name="data")
+    state2 = jax.device_put(
+        create_train_state(cfg, model=model2), replicated(mesh)
+    )
+    sharding = batch_sharding(mesh)
+    step2 = make_train_step(model2, donate=False, mesh=mesh)
+    new2, m2 = step2(
+        state2,
+        jax.device_put(images, sharding),
+        jax.device_put(masks, sharding),
+    )
+
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(m1["cm_thresh"]), np.asarray(m2["cm_thresh"]), rtol=0
+    )
+    # Post-AdamW params: for near-zero gradients Adam's m/sqrt(v)
+    # normalization amplifies psum reduction-order noise to a visible
+    # fraction of the lr=2e-3 update, so the bound is a fraction of lr —
+    # a missing psum would diverge at full update scale across the tree.
+    for a, b in zip(
+        jax.tree_util.tree_leaves(new1.params),
+        jax.tree_util.tree_leaves(new2.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=4e-4)
+    # BN running stats must also match: the chain's moments psum globally.
+    # (atol like the params: the psum's reduction order differs from the
+    # single-device sum, and var = E[y^2]-E[y]^2 is cancellation-sensitive)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(new1.batch_stats),
+        jax.tree_util.tree_leaves(new2.batch_stats),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_sharded_eval_step_matches_single_device(rng_np):
+    """The shard_map eval step (Pallas inference kernels per-shard) equals
+    the plain jit eval on the same state."""
+    from unet_image_segmentation_tpu.train.steps import make_eval_step
+
+    cfg = Config().override(
+        model__image_height=32, model__image_width=32,
+        model__filters=(8, 16), model__dropout_rate=0.0,
+        model__use_pallas=True, train__batch_size=8,
+    )
+    images = rng_np.rand(8, 32, 32, 3).astype(np.float32)
+    masks = (rng_np.rand(8, 32, 32, 1) > 0.5).astype(np.float32)
+
+    model = build_unet(cfg.model)
+    state = create_train_state(cfg, model=model)
+    m1 = make_eval_step(model)(state, jnp.asarray(images), jnp.asarray(masks))
+
+    mesh = create_mesh(data=4, devices=jax.devices()[:4])
+    state2 = jax.device_put(state, replicated(mesh))
+    sharding = batch_sharding(mesh)
+    m2 = make_eval_step(model, mesh=mesh)(
+        state2,
+        jax.device_put(images, sharding),
+        jax.device_put(masks, sharding),
+    )
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(m1["cm_thresh"]), np.asarray(m2["cm_thresh"]), rtol=0
+    )

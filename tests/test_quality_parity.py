@@ -35,12 +35,13 @@ pytestmark = [
     pytest.mark.skipif(
         not os.path.isdir(REFERENCE), reason="reference checkout unavailable"
     ),
-    # ~6 min of TF-CPU training; opt in with RUN_SLOW=1 (default suite
-    # keeps the fast parity anchors: test_tf_parity, test_e2e_reference_parity)
-    pytest.mark.skipif(
-        not os.environ.get("RUN_SLOW"), reason="set RUN_SLOW=1 to run"
-    ),
 ]
+# ~6 min of TF-CPU training for the full head-to-heads; opt in with
+# RUN_SLOW=1. The fast trajectory proxy below always runs, so kernel
+# changes cannot silently bend training numerics between RUN_SLOW runs.
+slow = pytest.mark.skipif(
+    not os.environ.get("RUN_SLOW"), reason="set RUN_SLOW=1 to run"
+)
 
 HW = 32
 EPOCHS = 16
@@ -84,6 +85,7 @@ def _thresholded_iou(y_true, y_prob, thr=0.5):
     return float((inter + 1e-7) / (union + 1e-7))
 
 
+@slow
 def test_trained_quality_matches_reference(arrays, tmp_path):
     (xtr, ytr), (xva, yva), root = arrays
 
@@ -155,6 +157,7 @@ def _train_tf_bn(xtr, ytr, hw, epochs, batch, seed):
     return m
 
 
+@slow
 def test_trained_quality_bn_enabled(arrays, tmp_path):
     """BN-ON head-to-head (VERDICT r1 weak #7): the configuration every
     real user trains (reference default) — identical data/hparams, running
@@ -216,3 +219,109 @@ def test_trained_quality_bn_enabled(arrays, tmp_path):
     print("BN-on quality:", artifact)
     assert mean_jax > 0.5, f"our stack failed to learn with BN on ({mean_jax:.3f})"
     assert mean_jax >= mean_tf - 0.10, artifact
+
+
+def test_training_gradient_parity_fast(arrays):
+    """UN-GATED training-numerics guard (VERDICT r2 item 6): same weights
+    (Keras init imported), same batch, BN ON — the full parameter GRADIENT
+    of the dice loss must match the TF reference stack leaf by leaf, and
+    our stack must descend over a few steps.  Gradients are the
+    deterministic, non-chaotic signal the kernels actually produce
+    (loss trajectories under Adam amplify float noise multiplicatively —
+    measured: step-1 losses differ 1e-2 from pure sign noise at lr 2e-3
+    with identical math), so this fails CI immediately when a kernel
+    change bends training numerics, without the RUN_SLOW head-to-heads."""
+    (xtr, ytr), _, _ = arrays
+
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    from model.u_net import U_NET
+    from utils.loss import dice_loss as tf_dice_loss
+
+    tf.keras.utils.set_random_seed(2301)
+    keras_model = U_NET(
+        input_size=(HW, HW, 3), num_classes=1,
+        dropout_rate=0.0, use_batch_norm=True,
+    )
+    bx, by = xtr[:BATCH], ytr[:BATCH]
+    with tf.GradientTape() as tape:
+        preds = keras_model(tf.constant(bx), training=True)
+        loss_tf = tf_dice_loss(tf.constant(by), preds)
+    tvars = keras_model.trainable_variables
+    tgrads = tape.gradient(loss_tf, tvars)
+
+    import jax
+    import jax.numpy as jnp
+
+    from unet_image_segmentation_tpu.config import Config
+    from unet_image_segmentation_tpu.models.unet import build_unet
+    from unet_image_segmentation_tpu.ops.losses import dice_loss
+    from unet_image_segmentation_tpu.train.state import state_from_variables
+    from unet_image_segmentation_tpu.train.steps import make_train_step
+    from unet_image_segmentation_tpu.utils.keras_import import (
+        _strip_tail,
+        variables_from_keras_model,
+        variables_from_keras_weights,
+    )
+
+    # route the TF grads through the same name mapping as the weights
+    # (BN moving stats are not trainable; pad them so the router accepts
+    # the layer, then ignore the batch_stats tree)
+    layer_grads = {}
+    for v, g in zip(tvars, tgrads):
+        name = getattr(v, "path", None) or v.name
+        layer = name.split("/")[0]
+        layer_grads.setdefault(layer, {})[_strip_tail(name)] = np.asarray(g)
+    for ln, w in layer_grads.items():
+        if ln.endswith("_bn"):
+            w.setdefault("moving_mean", np.zeros_like(w["gamma"]))
+            w.setdefault("moving_variance", np.zeros_like(w["gamma"]))
+    grads_tf = variables_from_keras_weights(layer_grads)["params"]
+
+    variables = variables_from_keras_model(keras_model)
+    cfg = Config().override(
+        model__image_height=HW, model__image_width=HW,
+        model__use_batch_norm=True, model__dropout_rate=0.0,
+        train__batch_size=BATCH,
+    )
+    model = build_unet(cfg.model)
+
+    def loss_fn(params):
+        p, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            jnp.asarray(bx), train=True, mutable=["batch_stats"],
+        )
+        return dice_loss(jnp.asarray(by), p)
+
+    loss_jax, grads_jax = jax.value_and_grad(loss_fn)(variables["params"])
+    assert abs(float(loss_tf) - float(loss_jax)) < 1e-5, (
+        float(loss_tf), float(loss_jax)
+    )
+
+    flat_tf = {
+        jax.tree_util.keystr(k): np.asarray(v)
+        for k, v in jax.tree_util.tree_leaves_with_path(grads_tf)
+    }
+    flat_jax = {
+        jax.tree_util.keystr(k): np.asarray(v)
+        for k, v in jax.tree_util.tree_leaves_with_path(grads_jax)
+    }
+    assert set(flat_tf) == set(flat_jax)
+    # measured agreement on CPU: worst leaf absmax 4.3e-5 at leaf scale
+    # ~9e-3 (0.5%); a broken kernel/backward moves grads at 10-100% scale
+    for key, g_tf in flat_tf.items():
+        g_jax = flat_jax[key]
+        d = float(np.abs(g_tf - g_jax).max())
+        scale = float(np.abs(g_tf).max())
+        assert d <= 2e-4 + 0.02 * scale, (key, d, scale)
+
+    # descent sanity of the full train step (our stack only; TF-vs-JAX
+    # trajectory comparison is chaotic under Adam, see docstring)
+    state = state_from_variables(cfg, variables, model=model)
+    step = make_train_step(model, "dice", donate=False)
+    losses = []
+    for i in range(4):
+        s = slice(i * BATCH, (i + 1) * BATCH)
+        state, metrics = step(state, jnp.asarray(xtr[s]), jnp.asarray(ytr[s]))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses

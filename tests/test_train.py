@@ -205,3 +205,51 @@ def test_rng_impl_rides_in_typed_key(workdir, tmp_path):
         np.asarray(jax.random.key_data(restored.rng)),
         np.asarray(jax.random.key_data(state2.rng)),
     )
+
+
+def test_fit_uses_mesh_from_config(workdir):
+    """VERDICT r2 item 7: the config's mesh section drives fit() — a
+    spatial=2 training mesh from config, no Python mesh plumbing."""
+    cfg = tiny_config(
+        workdir,
+        train__epochs=1,
+        train__model_out=os.path.join(workdir, "model_mesh"),
+        mesh__data_axis=4,
+        mesh__spatial_axis=2,
+    )
+    result = fit(cfg, verbose=False)
+    assert result.epochs_run == 1
+    assert np.isfinite(result.history["loss"][0])
+
+
+def test_fit_pallas_trains_on_shard_map_mesh(workdir):
+    """use_pallas=True under fit() on a multi-device mesh routes through
+    the shard_map train step (pallas_call cannot cross GSPMD) and learns."""
+    cfg = tiny_config(
+        workdir,
+        model__use_pallas=True,
+        model__dropout_rate=0.0,
+        train__epochs=1,
+        train__model_out=os.path.join(workdir, "model_pallas"),
+    )
+    result = fit(cfg, verbose=False)
+    assert result.epochs_run == 1
+    assert np.isfinite(result.history["loss"][0])
+    assert "val_mean_io_u" in result.history
+
+
+def test_fit_pallas_spatial_mesh_falls_back_loudly(workdir, capsys):
+    """Pallas training is data-parallel only: a spatial mesh must drop to
+    the XLA path with a visible warning, not compute wrong halos."""
+    cfg = tiny_config(
+        workdir,
+        model__use_pallas=True,
+        train__epochs=1,
+        train__model_out=os.path.join(workdir, "model_sp"),
+        mesh__data_axis=4,
+        mesh__spatial_axis=2,
+    )
+    result = fit(cfg, verbose=False)
+    out = capsys.readouterr().out
+    assert "data-parallel only" in out
+    assert result.epochs_run == 1

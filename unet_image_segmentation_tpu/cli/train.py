@@ -14,6 +14,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 
 from unet_image_segmentation_tpu.config import Config
@@ -46,6 +47,19 @@ def parse_args(argv=None) -> argparse.Namespace:
                    choices=["separable", "full"])
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 activations (fp32 params).")
+    p.add_argument("--pallas", dest="pallas", action="store_true", default=None,
+                   help="Fused Pallas training chains (the fast TPU path; "
+                        "on by default in the shipped TPU presets).")
+    p.add_argument("--no-pallas", dest="pallas", action="store_false",
+                   help="Force the plain XLA train step.")
+    p.add_argument("--mesh", type=str, default=None, metavar="DATA,SPATIAL",
+                   help="Device mesh, e.g. '8,1' (data-parallel) or '4,2' "
+                        "(rows spatially sharded for high-res configs).")
+    p.add_argument("--set", dest="sets", action="append", default=[],
+                   metavar="section__key=value",
+                   help="Generic config override (JSON-parsed value), e.g. "
+                        "--set model__use_pallas=true --set data__prefetch=8. "
+                        "Repeatable.")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--resume", action="store_true",
                    help="Resume from <model-out>/last.")
@@ -85,6 +99,26 @@ def config_from_args(args: argparse.Namespace) -> Config:
         overrides["model__conv_type"] = args.conv_type
     if args.bf16:
         overrides["model__compute_dtype"] = "bfloat16"
+    if args.pallas is not None:
+        overrides["model__use_pallas"] = args.pallas
+    if args.mesh is not None:
+        try:
+            data_ax, spatial_ax = (int(v) for v in args.mesh.split(","))
+        except ValueError:
+            raise SystemExit(
+                f"--mesh expects 'DATA,SPATIAL' integers, got {args.mesh!r}"
+            )
+        overrides["mesh__data_axis"] = data_ax
+        overrides["mesh__spatial_axis"] = spatial_ax
+    for item in args.sets:
+        key, sep, raw = item.partition("=")
+        if not sep:
+            raise SystemExit(f"--set expects section__key=value, got {item!r}")
+        try:
+            value = json.loads(raw)
+        except json.JSONDecodeError:
+            value = raw  # bare strings need no quotes
+        overrides[key] = value
     if args.seed is not None:
         overrides["train__seed"] = args.seed
     if args.resume:
@@ -106,6 +140,9 @@ def main(argv=None) -> int:
     print(f"Loss          : {t.loss}")
     print(f"Model Output  : {t.model_out}")
     print(f"Input Shape   : {cfg.model.input_shape}")
+    print(f"Pallas Chains : {cfg.model.use_pallas}")
+    print(f"Mesh          : data={cfg.mesh.data_axis} "
+          f"spatial={cfg.mesh.spatial_axis}")
     print(f"Seed          : {t.seed}")
     print("------------------------------")
 

@@ -7,10 +7,10 @@ same capability from our checkpoints via ``jax2tf``; everything is gated on
 TensorFlow being importable (it is an optional dependency of the
 framework — the serving-native path is :mod:`.stablehlo`).
 
-Metadata: the descriptive fields are always written as ``metadata.json``
-next to the ``.tflite``; the in-file flatbuffer population additionally
-runs when ``tflite_support`` is installed (it is not part of the baked
-environment, so that path is best-effort).
+Metadata: the descriptive fields are written as ``metadata.json`` next to
+the ``.tflite`` AND embedded in-file as a hand-assembled metadata
+flatbuffer + appended label-file zip (:mod:`.tflite_metadata`) — full
+reference ``add_tflite_metadata.py`` parity without ``tflite_support``.
 """
 
 from __future__ import annotations
@@ -152,33 +152,13 @@ def _write_metadata_sidecar(
     labels_path = os.path.join(os.path.dirname(tflite_path) or ".", "labels.txt")
     with open(labels_path, "w") as f:
         f.write("\n".join(labels) + "\n")
-    try:  # best-effort flatbuffer population (tflite_support optional)
-        _populate_flatbuffer_metadata(tflite_path, meta, labels_path)
-    except Exception as e:  # the JSON sidecar above remains authoritative
-        import warnings
-
-        warnings.warn(
-            f"in-file flatbuffer metadata not embedded "
-            f"({type(e).__name__}: {e}); metadata sidecar {sidecar} still "
-            f"written",
-            RuntimeWarning,
-            stacklevel=2,
-        )
-
-
-def _populate_flatbuffer_metadata(tflite_path: str, meta: dict, labels_path: str):
-    from tflite_support import flatbuffers  # type: ignore
-    from tflite_support import metadata as md  # type: ignore
-    from tflite_support import metadata_schema_py_generated as schema  # type: ignore
-
-    model_meta = schema.ModelMetadataT()
-    model_meta.name = meta["name"]
-    model_meta.version = meta["version"]
-    builder = flatbuffers.Builder(0)
-    builder.Finish(
-        model_meta.Pack(builder), md.MetadataPopulator.METADATA_FILE_IDENTIFIER
+    # In-file flatbuffer metadata, hand-assembled — no tflite_support
+    # needed (reference add_tflite_metadata.py:203-317 parity; see
+    # export.tflite_metadata for the schema-layout notes).
+    from unet_image_segmentation_tpu.export.tflite_metadata import (
+        build_metadata_flatbuffer,
+        embed_metadata,
     )
-    populator = md.MetadataPopulator.with_model_file(tflite_path)
-    populator.load_metadata_buffer(bytes(builder.Output()))
-    populator.load_associated_files([labels_path])
-    populator.populate()
+
+    blob = build_metadata_flatbuffer(meta, os.path.basename(labels_path))
+    embed_metadata(tflite_path, blob, [labels_path])

@@ -164,10 +164,13 @@ class UNet(nn.Module):
                 x = pooled
                 in_p = p2
                 w_cur //= 2
-            if in_p and in_p > 1:  # bneck chain consumes packed input too
-                bsz = x.shape[0]
-                x = x.reshape(bsz, x.shape[1], x.shape[2] * in_p, x.shape[3] // in_p)
+            # bneck chain consumes the pooled tensor STILL PACKED: the last
+            # stage's pool_to_pack was computed from the bneck chain's own
+            # channel ladder, so in_packed matches by construction — no
+            # unpack/repack reshape pair between encoder and bottleneck.
+            bneck_p = in_p if (in_p and in_p > 1) else None
         else:
+            bneck_p = None
             for i, f in enumerate(self.filters):
                 stage = i + 1
                 x = run_pair(x, f, f"enc{stage}_block1", f"enc{stage}_block2")
@@ -175,7 +178,14 @@ class UNet(nn.Module):
                 x = max_pool_2x2(x)
 
         # --- Bottleneck ---
-        x = run_pair(x, bneck, "bneck_block1", "bneck_block2")
+        x = run_pair(
+            x,
+            bneck,
+            "bneck_block1",
+            "bneck_block2",
+            in_packed=bneck_p,
+            c_in=(x.shape[-1] // bneck_p) if bneck_p else None,
+        )
         if self.dropout_rate > 0.0:
             x = nn.Dropout(
                 rate=self.dropout_rate, deterministic=not train, name="bneck_dropout"

@@ -1263,6 +1263,11 @@ def fused_sepconv_pair(
         # halo overhead dominates small pair tiles (measured at 1024px:
         # two single-block kernels win); let the caller fall back.
         return None
+    if pool and tile_h % 2:
+        # no even tile candidate fit in VMEM (possible only for h < 16
+        # with very wide rows): the pooled-output write needs whole 2-row
+        # pairs per tile, so fall back rather than emit a zero-sized write
+        return None
     n_tiles = h // tile_h
     kernel = functools.partial(
         _sepconv_pair_kernel_db,

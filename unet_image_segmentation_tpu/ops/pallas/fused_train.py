@@ -52,6 +52,27 @@ def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+_warned_fallbacks: set = set()
+
+
+def _warn_fallback(what: str) -> None:
+    """Loud (once per message) trace-time note that a chain link dropped to
+    the composed-XLA path — users asking for ``use_pallas`` training should
+    know when a shape/packing constraint quietly costs them the fused
+    kernels (VERDICT r2: the flagship number must be the product's number).
+    Numerics are identical either way."""
+    if what in _warned_fallbacks:
+        return
+    _warned_fallbacks.add(what)
+    import warnings
+
+    warnings.warn(
+        f"fused training chain: XLA fallback for {what} (numerics "
+        f"identical; throughput reduced)",
+        stacklevel=2,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Forward kernel: [input affine+ReLU] -> sepconv -> emit (y, sum, sumsq)
 # ---------------------------------------------------------------------------
@@ -1350,6 +1371,10 @@ def _chain_fwd_impl(n_blocks, eps, axis_name, pool_p2, in_p, z_in, flat_params):
                 in_aff[1] if in_aff is not None else None,
             )
             if fused is None:
+                _warn_fallback(
+                    f"forward link (shape {tuple(z_or_y.shape)} -> "
+                    f"{pww.shape[1]}ch, unpacked)"
+                )
                 z = z_or_y
                 if in_aff is not None:
                     z = jnp.maximum(
@@ -1390,6 +1415,9 @@ def _chain_fwd_impl(n_blocks, eps, axis_name, pool_p2, in_p, z_in, flat_params):
     if pool_p2:
         if fused_tail is None:
             # composed-XLA fallback with identical numerics
+            _warn_fallback(
+                f"pool tail (h={h}, w={w}, p={p}, f={f_last})"
+            )
             a_t = jnp.tile(a_last, p) if p > 1 else a_last
             b_t = jnp.tile(b_last, p) if p > 1 else b_last
             z_p = jnp.maximum(
@@ -1495,6 +1523,7 @@ def _chain_bwd(n_blocks, eps, axis_name, pool_p2, in_p, residuals, cotangents):
             fused_tail = None
         if fused_tail is None:
             # XLA fallback: vjp through the same pool (identical ties)
+            _warn_fallback(f"pool-tail backward (p={p}, f={f_last})")
             bsz, h_, wp_, pf_ = ys[k].shape
             w_ = wp_ * p
             yk = ys[k].astype(jnp.float32)
@@ -1624,6 +1653,10 @@ def _chain_bwd(n_blocks, eps, axis_name, pool_p2, in_p, residuals, cotangents):
             )
         if fused is None:
             # composed-XLA fallback for this link (identical math)
+            _warn_fallback(
+                f"backward link (shape {tuple(x_in.shape)} -> "
+                f"{pww.shape[1]}ch)"
+            )
             gf = g_raw.astype(jnp.float32)
             ykf = ys[k].astype(jnp.float32)
             if not g_is_masked:

@@ -145,25 +145,6 @@ def build_serving_forward(
 # ---------------------------------------------------------------------------
 
 
-def _eval_affine(blk: Dict[str, Any], eps: float = 1e-3):
-    """(a, b) f32 with activation = relu(a * y_raw + b): folded BN running
-    stats, or identity-scale + conv bias for BN-free blocks."""
-    pw = blk["pointwise_kernel"]
-    f = pw.shape[-1]
-    if "scale" in blk:
-        r = jax.lax.rsqrt(blk["var"].astype(jnp.float32) + eps)
-        a = blk["scale"].astype(jnp.float32) * r
-        b = blk["offset"].astype(jnp.float32) - blk["mean"].astype(jnp.float32) * a
-        return a, b
-    a = jnp.ones((f,), jnp.float32)
-    b = (
-        blk["bias"].astype(jnp.float32)
-        if blk.get("bias") is not None
-        else jnp.zeros((f,), jnp.float32)
-    )
-    return a, b
-
-
 def _chained_forward(
     variables: Dict[str, Any],
     num_classes: int,

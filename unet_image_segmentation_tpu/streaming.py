@@ -119,3 +119,10 @@ class StreamingPredictor:
         if self._in_sharding is not None:
             x = jax.device_put(x, self._in_sharding)
         return np.asarray(self._fn(x))
+
+    def run_device(self, frames_u8_dev: jax.Array) -> jax.Array:
+        """Device-resident entry: uint8 frames already on device -> device
+        masks, no host round trip.  This is the steady-state serving rate
+        (a production loop keeps frames device-side / overlaps transfers);
+        ``__call__`` adds the host<->device copies."""
+        return self._fn(frames_u8_dev)

@@ -123,25 +123,66 @@ def fit(
     if train_ds is None or val_ds is None:
         train_ds, val_ds = make_loaders(cfg)
     if mesh is None:
-        # largest DP degree that divides the batch (the reference default
-        # batch is 2; users shouldn't have to size the mesh by hand)
-        import jax as _jax
+        mcfg = cfg.mesh
+        if mcfg.spatial_axis != 1 or mcfg.data_axis != -1:
+            # explicit mesh from config (``--mesh`` / mesh section): build
+            # exactly what was asked for
+            mesh = create_mesh(data=mcfg.data_axis, spatial=mcfg.spatial_axis)
+        else:
+            # default: largest DP degree that divides the batch (the
+            # reference default batch is 2; users shouldn't have to size
+            # the mesh by hand)
+            import jax as _jax
 
-        n_dev = _jax.device_count()
-        dp = 1
-        for d in range(min(n_dev, tcfg.batch_size), 0, -1):
-            if tcfg.batch_size % d == 0:
-                dp = d
-                break
-        mesh = create_mesh(data=dp, devices=_jax.devices()[:dp])
-        if dp < n_dev and verbose:
-            print(
-                f"Note: batch {tcfg.batch_size} uses {dp}/{n_dev} devices "
-                f"(data-parallel degree must divide the batch)."
-            )
-    model = build_unet(cfg.model)
+            n_dev = _jax.device_count()
+            dp = 1
+            for d in range(min(n_dev, tcfg.batch_size), 0, -1):
+                if tcfg.batch_size % d == 0:
+                    dp = d
+                    break
+            mesh = create_mesh(data=dp, devices=_jax.devices()[:dp])
+            if dp < n_dev and verbose:
+                print(
+                    f"Note: batch {tcfg.batch_size} uses {dp}/{n_dev} devices "
+                    f"(data-parallel degree must divide the batch)."
+                )
+
+    # --- training-path selection (Pallas chains x the mesh) ---
+    n_spatial = mesh.shape.get("spatial", 1)
+    n_data = mesh.shape["data"]
+    model_cfg = cfg.model
+    if model_cfg.use_pallas and n_spatial > 1:
+        # The fused chains convolve each row shard locally ('same'
+        # padding at shard edges) — only the GSPMD path inserts the halo
+        # exchanges 3x3 convs need across 'spatial' shards. Correctness
+        # over speed: drop to the XLA path, loudly.
+        print(
+            "WARNING: use_pallas training is data-parallel only; the "
+            f"spatial={n_spatial} mesh axis requires GSPMD halo exchange. "
+            "Falling back to the XLA train step (set spatial_axis=1 to "
+            "keep the fused Pallas chains)."
+        )
+        import dataclasses as _dc
+
+        model_cfg = _dc.replace(model_cfg, use_pallas=False)
+    use_smap = model_cfg.use_pallas and (n_data * n_spatial) > 1
+    if model_cfg.use_pallas and not (
+        model_cfg.conv_type == "separable" and model_cfg.use_batch_norm
+    ):
+        print(
+            "WARNING: the fused Pallas training chain needs "
+            "conv_type='separable' and use_batch_norm=True; this "
+            f"configuration (conv_type={model_cfg.conv_type!r}, "
+            f"use_batch_norm={model_cfg.use_batch_norm}) trains on the "
+            "XLA path."
+        )
+    model = build_unet(model_cfg, bn_axis_name="data" if use_smap else None)
     if state is None:
-        state = create_train_state(cfg)
+        state = create_train_state(cfg, model=model)
+    else:
+        # external states (tests, resume chains) must run through THIS
+        # mesh-aware model, not whatever model they were created with
+        state = state.replace(apply_fn=model.apply)
 
     model_kwargs = dict(
         num_classes=cfg.model.num_classes,
@@ -196,9 +237,9 @@ def fit(
             if verbose:
                 print(f"Resumed from {last} at epoch {start_epoch}")
 
-    train_step = make_train_step(model, tcfg.loss)
-    eval_step = make_eval_step(model, tcfg.loss)
-    data_sharding = batch_sharding(mesh)
+    train_step = make_train_step(model, tcfg.loss, mesh=mesh if use_smap else None)
+    eval_step = make_eval_step(model, tcfg.loss, mesh=mesh if use_smap else None)
+    data_sharding = batch_sharding(mesh, spatial=n_spatial > 1)
 
     def put(batch):
         return tuple(jax.device_put(np.asarray(x), data_sharding) for x in batch)
@@ -208,11 +249,15 @@ def fit(
     history: Dict[str, List[float]] = {}
     result = FitResult(state=state, history=history)
 
-    n_data = mesh.shape["data"]
     if tcfg.batch_size % n_data:
         raise ValueError(
             f"batch_size {tcfg.batch_size} not divisible by data-parallel "
             f"degree {n_data}"
+        )
+    if n_spatial > 1 and cfg.model.image_height % n_spatial:
+        raise ValueError(
+            f"image_height {cfg.model.image_height} not divisible by "
+            f"spatial degree {n_spatial}"
         )
 
     # Preemption safety (SURVEY §5 failure detection): on SIGTERM/SIGINT a

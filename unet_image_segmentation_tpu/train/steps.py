@@ -30,6 +30,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
 
 from unet_image_segmentation_tpu.models.unet import UNet
 from unet_image_segmentation_tpu.ops.losses import get_loss
@@ -37,6 +38,17 @@ from unet_image_segmentation_tpu.ops.metrics import confusion_matrix, dice_coef
 from unet_image_segmentation_tpu.train.state import TrainState
 
 Metrics = Dict[str, jax.Array]
+
+
+def _reduce_metrics(metrics: Metrics, axis: str) -> Metrics:
+    """Collapse per-shard metrics to their global-batch values.
+
+    Confusion matrices are per-shard COUNTS (psum); scalar metrics are
+    per-shard means over equal shards (pmean == global mean)."""
+    return {
+        k: jax.lax.psum(v, axis) if k.startswith("cm_") else jax.lax.pmean(v, axis)
+        for k, v in metrics.items()
+    }
 
 
 def _prep_masks(masks: jax.Array, num_classes: int) -> jax.Array:
@@ -73,16 +85,41 @@ def make_train_step(
     model: UNet,
     loss_name: str = "dice",
     donate: bool = True,
+    mesh: Optional[Mesh] = None,
 ) -> Callable[[TrainState, jax.Array, jax.Array], Tuple[TrainState, Metrics]]:
-    """Build the jitted train step for ``model``."""
+    """Build the jitted train step for ``model``.
+
+    With ``mesh=None`` (default) the step is a plain ``jit`` — on a sharded
+    batch GSPMD partitions it and inserts the gradient all-reduce itself.
+
+    With a ``mesh``, the step is wrapped in ``shard_map`` over the mesh's
+    'data' axis instead: each device runs the WHOLE step on its local batch
+    shard, gradients/loss are ``pmean``-ed and BatchNorm batch moments ride
+    the model's ``bn_axis_name`` psums, so numerics match the single-device
+    step (equal shards).  This is the composition path for the fused Pallas
+    training chains — ``pallas_call`` cannot be partitioned by GSPMD, but
+    inside ``shard_map`` every kernel sees ordinary local shapes.  The model
+    must have been built with ``bn_axis_name='data'``.  Dropout keys fold in
+    the device's axis index so masks decorrelate across shards.
+    """
     loss_fn_core = get_loss(loss_name)
     has_bn = model.use_batch_norm
     needs_dropout = model.dropout_rate > 0.0
+    axis = model.bn_axis_name if mesh is not None else None
+    if mesh is not None and model.bn_axis_name is None:
+        raise ValueError(
+            "shard_map train step needs the model built with "
+            "bn_axis_name='data' (BatchNorm moments must psum over shards)"
+        )
 
     def step_fn(
         state: TrainState, images: jax.Array, masks: jax.Array
     ) -> Tuple[TrainState, Metrics]:
         dropout_rng = jax.random.fold_in(state.rng, state.step)
+        if axis is not None:
+            dropout_rng = jax.random.fold_in(
+                dropout_rng, jax.lax.axis_index(axis)
+            )
 
         def loss_fn(params):
             variables = {"params": params}
@@ -103,6 +140,11 @@ def make_train_step(
         (loss, (preds, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        if axis is not None:
+            # global-batch gradient: mean of equal-shard means == global
+            # mean, so pmean reproduces the GSPMD/single-device numerics
+            grads = jax.lax.pmean(grads, axis)
+            loss = jax.lax.pmean(loss, axis)
         updates, new_opt_state = state.tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree_util.tree_map(
             lambda p, u: p + u, state.params, updates
@@ -114,18 +156,34 @@ def make_train_step(
             opt_state=new_opt_state,
         )
         metrics = {"loss": loss, **_metric_bundle(masks, preds, model.num_classes)}
+        if axis is not None:
+            metrics = _reduce_metrics(metrics, axis)
         return new_state, metrics
 
     donate_argnums = (0,) if donate else ()
-    return jax.jit(step_fn, donate_argnums=donate_argnums)
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=donate_argnums)
+    smapped = jax.shard_map(
+        step_fn,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P("data")),
+        out_specs=(P(), P()),
+        check_vma=False,  # pallas_call has no replication rule
+    )
+    return jax.jit(smapped, donate_argnums=donate_argnums)
 
 
 def make_eval_step(
-    model: UNet, loss_name: str = "dice"
+    model: UNet, loss_name: str = "dice", mesh: Optional[Mesh] = None
 ) -> Callable[[TrainState, jax.Array, jax.Array], Metrics]:
-    """Jitted validation step (BN running stats, no dropout)."""
+    """Jitted validation step (BN running stats, no dropout).
+
+    ``mesh``: like :func:`make_train_step` — shard_map the step over the
+    'data' axis (the Pallas inference kernels run per-shard; only the
+    metric reductions cross devices)."""
     loss_fn_core = get_loss(loss_name)
     has_bn = model.use_batch_norm
+    axis = "data" if mesh is not None else None
 
     def eval_fn(state: TrainState, images: jax.Array, masks: jax.Array) -> Metrics:
         variables = {"params": state.params}
@@ -133,9 +191,21 @@ def make_eval_step(
             variables["batch_stats"] = state.batch_stats
         preds = state.apply_fn(variables, images, train=False)
         loss = loss_fn_core(_prep_masks(masks, model.num_classes), preds)
-        return {"loss": loss, **_metric_bundle(masks, preds, model.num_classes)}
+        metrics = {"loss": loss, **_metric_bundle(masks, preds, model.num_classes)}
+        if axis is not None:
+            metrics = _reduce_metrics(metrics, axis)
+        return metrics
 
-    return jax.jit(eval_fn)
+    if mesh is None:
+        return jax.jit(eval_fn)
+    smapped = jax.shard_map(
+        eval_fn,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P("data")),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(smapped)
 
 
 def make_predict_fn(
