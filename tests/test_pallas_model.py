@@ -99,7 +99,7 @@ def test_default_width_regime_parity():
     """The reference's default 64-wide filter ladder exercises DIFFERENT
     kernel paths than the small test widths: pack-8 stage-1 chain whose
     pooled output repacks to a non-p//2 factor, pack-2 chains, pack-1
-    (unpacked) chains with the XLA pool fallback, and the packed decoder
+    (unpacked) chains with the fused p1 pool tail, and the packed decoder
     feed at p_dec == 2.  Pin train forward + batch stats + gradients
     against the XLA model in that regime at a small spatial size."""
     hw = 16

@@ -37,6 +37,7 @@ in ``tests/test_fused_train.py``.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
@@ -50,6 +51,15 @@ from unet_image_segmentation_tpu.ops.pallas import fused_sepconv as fs
 
 def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
+
+
+# Backward-kernel column-reduction strategy (see _bwd_train_kernel):
+# 'split' = one ones-matvec per reduction operand; 'merged' = one wide
+# matvec over the lane-concat of all 11 operands; 'merged_bf16' = the
+# wide matvec with bf16 operands (f32 accumulation).  Measured on the
+# v5e at 256px/b32: merged 411.2 img/s, split 408.9, merged_bf16 400.3
+# (the bf16 round-trip on the products costs more than the rate gain).
+_BWD_COLSUM = os.environ.get("UNET_TPU_BWD_COLSUM", "merged")
 
 
 _warned_fallbacks: set = set()
@@ -451,6 +461,322 @@ def _tail_pool_kernel(
         z_copy(n_tiles - 2, jax.lax.rem(n_tiles - 2, 2)).wait()
 
     z_copy(n_tiles - 1, jax.lax.rem(n_tiles - 1, 2)).wait()
+
+
+def _tail_pool_kernel_p1(
+    y_hbm,      # (B, H, W, F) ANY — last block's raw output (UNPACKED)
+    aff_ref,    # (2, F) VMEM: a, b
+    z_hbm,      # (B, H, W, F) ANY — z = relu(a*y+b) (the skip)
+    p_ref,      # (1, H//2, W//2, F) VMEM — pool(z)
+    ybuf,       # scratch (2, TH, W, F)
+    zbuf,       # scratch (2, TH, W, F)
+    in_sems,    # (2,)
+    z_sems,     # (2,)
+    *,
+    tile_h: int,
+    n_tiles: int,
+):
+    """Unpacked (p=1, F >= 128) variant of :func:`_tail_pool_kernel` —
+    the wide encoder stages (256/512 ch) whose chains run at pack 1.
+
+    W-pair max WITHOUT strided slices (Mosaic lowers those as >2D
+    gathers): reshape ``(th, W, F) -> (th, W/2, 2F)`` puts horizontal
+    neighbours side by side in the LANE dim, so even/odd W are contiguous
+    lane chunks ``[:F]``/``[F:]``; H pairs split on the leading dim.
+    """
+    b = pl.program_id(0)
+    w = ybuf.shape[2]
+    f = ybuf.shape[3]
+
+    def start_in(j, slot):
+        pltpu.make_async_copy(
+            y_hbm.at[b, pl.ds(j * tile_h, tile_h)],
+            ybuf.at[slot],
+            in_sems.at[slot],
+        ).start()
+
+    def wait_in(j, slot):
+        pltpu.make_async_copy(
+            y_hbm.at[b, pl.ds(j * tile_h, tile_h)],
+            ybuf.at[slot],
+            in_sems.at[slot],
+        ).wait()
+
+    def z_copy(j, slot):
+        return pltpu.make_async_copy(
+            zbuf.at[slot],
+            z_hbm.at[b, pl.ds(j * tile_h, tile_h)],
+            z_sems.at[slot],
+        )
+
+    start_in(0, 0)
+
+    def body(j, _):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < n_tiles)
+        def _():
+            start_in(j + 1, jax.lax.rem(j + 1, 2))
+
+        wait_in(j, slot)
+
+        @pl.when(j >= 2)
+        def _():
+            z_copy(j - 2, slot).wait()
+
+        zf = (
+            ybuf[slot].astype(jnp.float32) * aff_ref[0][None, None, :]
+            + aff_ref[1][None, None, :]
+        )
+        zc = jnp.maximum(zf, 0.0).astype(zbuf.dtype)
+        zbuf[slot] = zc
+        z_copy(j, slot).start()
+        th2 = tile_h // 2
+        # pool over the CAST values (monotone; ties match the backward)
+        z4 = zc.reshape(th2, 2, w, f)
+        rm = jnp.maximum(z4[:, 0], z4[:, 1])          # H pairs
+        z2 = rm.reshape(th2, w // 2, 2 * f)
+        pooled = jnp.maximum(z2[..., :f], z2[..., f:])  # W pairs (lanes)
+        p_ref[0, pl.ds(j * th2, th2)] = pooled
+        return ()
+
+    jax.lax.fori_loop(0, n_tiles, body, (), unroll=False)
+
+    @pl.when(n_tiles >= 2)
+    def _():
+        z_copy(n_tiles - 2, jax.lax.rem(n_tiles - 2, 2)).wait()
+
+    z_copy(n_tiles - 1, jax.lax.rem(n_tiles - 1, 2)).wait()
+
+
+def _tail_pool_p1(
+    y: jax.Array,       # (B, H, W, F) unpacked
+    a: jax.Array,       # (F,) f32
+    b_: jax.Array,      # (F,) f32
+) -> Optional[Tuple[jax.Array, jax.Array]]:
+    """(z, pooled) for the unpacked chain boundary, or None if no tile fits."""
+    bsz, h, w, f = y.shape
+    if f % fs.LANE or h % 2 or w % 2:
+        return None
+    tile_h = _pick_tile_h_tail(h, w, f, bwd=False)
+    if tile_h is None:
+        return None
+    n_tiles = h // tile_h
+    aff = jnp.stack([a.astype(jnp.float32), b_.astype(jnp.float32)])
+    kernel = functools.partial(
+        _tail_pool_kernel_p1, tile_h=tile_h, n_tiles=n_tiles
+    )
+    z, pool = pl.pallas_call(
+        kernel,
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, h // 2, w // 2, f),
+                lambda bi: (bi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, h, w, f), y.dtype),
+            jax.ShapeDtypeStruct((bsz, h // 2, w // 2, f), y.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_h, w, f), y.dtype),
+            pltpu.VMEM((2, tile_h, w, f), y.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=bsz * h * w * f * 5,
+            bytes_accessed=int(2.25 * bsz * h * w * f) * y.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=fs.vmem_params(),
+        interpret=_use_interpret(),
+    )(y, aff)
+    return z, pool
+
+
+def _tail_pool_bwd_kernel_p1(
+    y_hbm,      # (B, H, W, F) ANY — raw activations
+    gs_hbm,     # (B, H, W, F) ANY — skip (z) cotangent
+    gp_ref,     # (1, H//2, W//2, F) VMEM — pooled cotangent
+    aff_ref,    # (4, F) VMEM: a, b, mean, rstd
+    d_hbm,      # (B, H, W, F) ANY — dzt
+    st_ref,     # (8, F) VMEM: row0 S, row1 T
+    ybuf,       # scratch (2, TH, W, F)
+    gsbuf,      # scratch (2, TH, W, F)
+    dbuf,       # scratch (2, TH, W, F)
+    st_acc,     # scratch (8, F) f32
+    in_sems,    # (2, 2)
+    out_sems,   # (2,)
+    *,
+    tile_h: int,
+    n_tiles: int,
+):
+    """Unpacked select-and-scatter pool backward (first-max ties), W pairs
+    as contiguous lane chunks of the ``(th, W/2, 2F)`` reshape."""
+    b = pl.program_id(0)
+    w = ybuf.shape[2]
+    f = ybuf.shape[3]
+
+    def start_in(j, slot):
+        pltpu.make_async_copy(
+            y_hbm.at[b, pl.ds(j * tile_h, tile_h)], ybuf.at[slot],
+            in_sems.at[slot, 0],
+        ).start()
+        pltpu.make_async_copy(
+            gs_hbm.at[b, pl.ds(j * tile_h, tile_h)], gsbuf.at[slot],
+            in_sems.at[slot, 1],
+        ).start()
+
+    def wait_in(j, slot):
+        pltpu.make_async_copy(
+            y_hbm.at[b, pl.ds(j * tile_h, tile_h)], ybuf.at[slot],
+            in_sems.at[slot, 0],
+        ).wait()
+        pltpu.make_async_copy(
+            gs_hbm.at[b, pl.ds(j * tile_h, tile_h)], gsbuf.at[slot],
+            in_sems.at[slot, 1],
+        ).wait()
+
+    def out_copy(j, slot):
+        return pltpu.make_async_copy(
+            dbuf.at[slot],
+            d_hbm.at[b, pl.ds(j * tile_h, tile_h)],
+            out_sems.at[slot],
+        )
+
+    st_acc[...] = jnp.zeros((8, f), jnp.float32)
+    start_in(0, 0)
+
+    def body(j, _):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < n_tiles)
+        def _():
+            start_in(j + 1, jax.lax.rem(j + 1, 2))
+
+        wait_in(j, slot)
+
+        @pl.when(j >= 2)
+        def _():
+            out_copy(j - 2, slot).wait()
+
+        yf = ybuf[slot].astype(jnp.float32)
+        wlin = yf * aff_ref[0][None, None, :] + aff_ref[1][None, None, :]
+        # fwd tie parity: compare the EXACT cast values — but in f32
+        # (Mosaic rejects bf16 cmpf); casting back up is value-preserving
+        zc = jnp.maximum(wlin, 0.0).astype(ybuf.dtype).astype(jnp.float32)
+
+        th2 = tile_h // 2
+        z4 = zc.reshape(th2, 2, w, f)
+        top = z4[:, 0].reshape(th2, w // 2, 2 * f)
+        bot = z4[:, 1].reshape(th2, w // 2, 2 * f)
+        a00, a01 = top[..., :f], top[..., f:]
+        a10, a11 = bot[..., :f], bot[..., f:]
+        m00 = (a00 >= a01) & (a00 >= a10) & (a00 >= a11)
+        m01 = (a01 > a00) & (a01 >= a10) & (a01 >= a11)
+        m10 = (a10 > a00) & (a10 > a01) & (a10 >= a11)
+        m11 = (a11 > a00) & (a11 > a01) & (a11 > a10)
+        gpg = gp_ref[0, pl.ds(j * th2, th2)].astype(jnp.float32)
+        zero = jnp.zeros_like(gpg)
+        g00 = jnp.where(m00, gpg, zero)
+        g01 = jnp.where(m01, gpg, zero)
+        g10 = jnp.where(m10, gpg, zero)
+        g11 = jnp.where(m11, gpg, zero)
+        gtop = jnp.concatenate([g00, g01], axis=-1).reshape(th2, w, f)
+        gbot = jnp.concatenate([g10, g11], axis=-1).reshape(th2, w, f)
+        gp_full = jnp.stack([gtop, gbot], axis=1).reshape(tile_h, w, f)
+
+        g_z = gsbuf[slot].astype(jnp.float32) + gp_full
+        dzt = jnp.where(wlin > 0, g_z, 0.0)
+        yhat = (yf - aff_ref[2][None, None, :]) * aff_ref[3][None, None, :]
+        st_acc[0, :] = st_acc[0, :] + jnp.sum(dzt, axis=(0, 1))
+        st_acc[1, :] = st_acc[1, :] + jnp.sum(dzt * yhat, axis=(0, 1))
+        dbuf[slot] = dzt.astype(dbuf.dtype)
+        out_copy(j, slot).start()
+        return ()
+
+    jax.lax.fori_loop(0, n_tiles, body, (), unroll=False)
+
+    @pl.when(n_tiles >= 2)
+    def _():
+        out_copy(n_tiles - 2, jax.lax.rem(n_tiles - 2, 2)).wait()
+
+    out_copy(n_tiles - 1, jax.lax.rem(n_tiles - 1, 2)).wait()
+
+    first = b == 0
+
+    @pl.when(first)
+    def _():
+        st_ref[...] = st_acc[...]
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        st_ref[...] = st_ref[...] + st_acc[...]
+
+
+def _tail_pool_bwd_p1(
+    y: jax.Array,       # (B, H, W, F)
+    gs: jax.Array,      # (B, H, W, F)
+    gp: jax.Array,      # (B, H//2, W//2, F)
+    aff4: jax.Array,    # (4, F) f32
+) -> Optional[Tuple[jax.Array, jax.Array]]:
+    """(dzt, st (8, F)) unpacked pool backward, or None if no tile fits."""
+    bsz, h, w, f = y.shape
+    if f % fs.LANE or h % 2 or w % 2:
+        return None
+    tile_h = _pick_tile_h_tail(h, w, f, bwd=True)
+    if tile_h is None:
+        return None
+    n_tiles = h // tile_h
+    kernel = functools.partial(
+        _tail_pool_bwd_kernel_p1, tile_h=tile_h, n_tiles=n_tiles
+    )
+    d, st = pl.pallas_call(
+        kernel,
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, h // 2, w // 2, f),
+                lambda bi: (bi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((8, f), lambda bi: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, h, w, f), y.dtype),
+            jax.ShapeDtypeStruct((8, f), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_h, w, f), y.dtype),
+            pltpu.VMEM((2, tile_h, w, f), gs.dtype),
+            pltpu.VMEM((2, tile_h, w, f), y.dtype),
+            pltpu.VMEM((8, f), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=bsz * h * w * f * 12,
+            bytes_accessed=int(3.25 * bsz * h * w * f) * y.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=fs.vmem_params(),
+        interpret=_use_interpret(),
+    )(y, gs, gp.astype(y.dtype), aff4.astype(jnp.float32))
+    return d, st
 
 
 def _pick_tile_h_tail(h: int, wp: int, pf: int, bwd: bool) -> Optional[int]:
@@ -950,6 +1276,18 @@ def _bwd_train_kernel(
                 preferred_element_type=jnp.float32,
             )[0]
 
+        # 'merged' variants: collect every reduction operand (the 2 BN
+        # streams + 9 weight-grad products) into ONE wide lane concat and
+        # run a single ones-matvec over it — 11 MXU matvec launches
+        # become 1 (each launch pushes the whole (thwp, pc) panel through
+        # the systolic array; the width is nearly free, the launches are
+        # not).  'merged_bf16' additionally rounds the products to bf16:
+        # the matvec then runs at the MXU's full bf16 rate, and the f32
+        # accumulation (preferred_element_type) keeps the sums stable —
+        # the same rounding XLA's own bf16 conv backward applies to its
+        # operands.
+        prods = []
+
         if in_affine:
             x_center = xbuf[slot, pl.ds(base + 1, tile_h)].astype(jnp.float32)
             w_in = (
@@ -960,8 +1298,12 @@ def _bwd_train_kernel(
             xhat = (
                 x_center - in_aff_ref[2][None, None, :]
             ) * in_aff_ref[3][None, None, :]
-            st_acc[0, :] = st_acc[0, :] + colsum(dz)
-            st_acc[1, :] = st_acc[1, :] + colsum(dz * xhat)
+            if _BWD_COLSUM == "split":
+                st_acc[0, :] = st_acc[0, :] + colsum(dz)
+                st_acc[1, :] = st_acc[1, :] + colsum(dz * xhat)
+            else:
+                prods.append(dz)
+                prods.append(dz * xhat)
         dxbuf[slot, pl.ds(base, tile_h)] = dz.astype(dxbuf.dtype)
 
         # --- weight grads: need the conv input z (recomputed from the
@@ -992,9 +1334,31 @@ def _bwd_train_kernel(
             sl = slice(di, di + tile_h)
             for dj, src in ((0, z_prev), (1, z_slab), (2, z_next)):
                 zs = src[sl]
-                ddw_rows.append(colsum(zs * dm_center))
+                if _BWD_COLSUM == "split":
+                    ddw_rows.append(colsum(zs * dm_center))
+                else:
+                    prods.append(zs * dm_center)
                 tap = dwk_ref[di, dj].astype(jnp.float32)
                 m = m + zs * tap[None, None, :]
+        if _BWD_COLSUM != "split":
+            wide = jnp.concatenate(prods, axis=-1)
+            if _BWD_COLSUM == "merged_bf16":
+                wide = wide.astype(g_hbm.dtype)
+                ones_w = ones_row.astype(g_hbm.dtype)
+            else:
+                ones_w = ones_row
+            sums = jax.lax.dot(
+                ones_w,
+                wide.reshape(tile_h * wp, len(prods) * pc),
+                preferred_element_type=jnp.float32,
+            )[0]
+            chunks = [sums[i * pc : (i + 1) * pc] for i in range(len(prods))]
+            if in_affine:
+                st_acc[0, :] = st_acc[0, :] + chunks[0]
+                st_acc[1, :] = st_acc[1, :] + chunks[1]
+                ddw_rows = chunks[2:]
+            else:
+                ddw_rows = chunks
         ddw_tile = jnp.stack(
             ddw_rows + [jnp.zeros((pc,), jnp.float32)] * 7, axis=0
         )
@@ -1410,6 +1774,9 @@ def _chain_fwd_impl(n_blocks, eps, axis_name, pool_p2, in_p, z_in, flat_params):
     )
     if tail_ok:
         fused_tail = _tail_pool_packed(y_last, a_last, b_last, p, f_last)
+    elif pool_p2 == 1 and p == 1 and h % 2 == 0:
+        # wide stages (256/512 ch) run unpacked; their pool tail fuses too
+        fused_tail = _tail_pool_p1(y_last, a_last, b_last)
     else:
         fused_tail = None
     if pool_p2:
@@ -1434,7 +1801,9 @@ def _chain_fwd_impl(n_blocks, eps, axis_name, pool_p2, in_p, z_in, flat_params):
             z_p = z_unp.reshape(b, h, w // p, p * f_last) if p > 1 else z_unp
         else:
             z_p, pooled = fused_tail
-            if pool_p2 != p // 2:
+            if p == 1:
+                pass  # p1 kernel already emits (B, H/2, W/2, F)
+            elif pool_p2 != p // 2:
                 # kernel emits pack p//2; one XLA repack to the next
                 # stage's factor (stage boundaries where channel counts
                 # don't exactly double, e.g. the padded 3-channel stage)
@@ -1518,6 +1887,10 @@ def _chain_bwd(n_blocks, eps, axis_name, pool_p2, in_p, residuals, cotangents):
             fused_tail = _tail_pool_bwd_packed(
                 ys[k], g_zout.astype(ys[k].dtype),
                 gp_ph.astype(ys[k].dtype), aff4, p, f_last,
+            )
+        elif p == 1 and pool_p2 == 1:
+            fused_tail = _tail_pool_bwd_p1(
+                ys[k], g_zout.astype(ys[k].dtype), g_pool, aff4
             )
         else:
             fused_tail = None
