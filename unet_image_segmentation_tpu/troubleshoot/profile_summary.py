@@ -137,10 +137,14 @@ def iter_planes(path: str):
 
 
 def summarize(
-    logdir: str, line_filter: str = "XLA Ops"
+    logdir: str, line_filter: str = "XLA Ops", exact: bool = False
 ) -> Dict[str, Dict[str, float]]:
     """{plane_name: {op_name: total_ms}} across every xplane file under
-    ``logdir`` (a ``start_trace`` directory or a single .xplane.pb)."""
+    ``logdir`` (a ``start_trace`` directory or a single .xplane.pb).
+
+    ``exact`` matches the line name exactly — NB the default substring
+    match merges 'Async XLA Ops' (overlapping DMA spans) into 'XLA Ops',
+    which inflates totals well past wall time."""
     if os.path.isfile(logdir):
         paths = [logdir]
     else:
@@ -152,7 +156,10 @@ def summarize(
         for pname, meta, lines in iter_planes(path):
             dest = out.setdefault(pname, collections.defaultdict(float))
             for lname, events in lines:
-                if line_filter and line_filter not in lname:
+                if exact:
+                    if lname != line_filter:
+                        continue
+                elif line_filter and line_filter not in lname:
                     continue
                 for mid, dur_ps in events:
                     dest[meta.get(mid, f"#{mid}")] += dur_ps / 1e9
@@ -167,9 +174,13 @@ def main() -> None:
     ap.add_argument(
         "--plane", default="TPU", help="plane-name substring (device plane)"
     )
+    ap.add_argument(
+        "--exact", action="store_true",
+        help="match the line name exactly (avoids merging 'Async XLA Ops')",
+    )
     args = ap.parse_args()
 
-    planes = summarize(args.logdir, args.line)
+    planes = summarize(args.logdir, args.line, exact=args.exact)
     for pname, ops in planes.items():
         if args.plane and args.plane not in pname:
             continue
