@@ -122,3 +122,73 @@ def test_chain_under_shard_map_matches_global():
     np.testing.assert_allclose(
         np.asarray(stats_s[0][0]), np.asarray(stats_g[0][0]), atol=1e-5, rtol=1e-5
     )
+
+
+def _check_chain_dropout(channels, rate=0.25, seed=12345, batch=2, hw=HW):
+    """Fused chain with fused input dropout vs the XLA oracle: the
+    position-hash mask (ops/hash_dropout.py) is a pure function of
+    logical coordinates + seed, so outputs AND all gradients must match
+    the reference chain fed the same hash-dropped input."""
+    rng = np.random.RandomState(11 + channels[-1])
+    x = jnp.asarray(rng.rand(batch, hw, hw, channels[0]), jnp.float32)
+    blocks = []
+    c = channels[0]
+    for f in channels[1:]:
+        blocks.append(_params(rng, c, f))
+        c = f
+    sd = jnp.int32(seed)
+
+    def loss_fused(x, blocks):
+        z, stats = fused_chain_train(x, blocks, drop_rate=rate, drop_seed=sd)
+        return jnp.sum(z * z), z
+
+    def loss_ref(x, blocks):
+        z, stats = chain_reference(x, blocks, drop_rate=rate, drop_seed=sd)
+        return jnp.sum(z * z), z
+
+    (lf, zf), gf = jax.value_and_grad(loss_fused, argnums=(0, 1), has_aux=True)(
+        x, blocks
+    )
+    (lr, zr), gr = jax.value_and_grad(loss_ref, argnums=(0, 1), has_aux=True)(
+        x, blocks
+    )
+    np.testing.assert_allclose(np.asarray(zf), np.asarray(zr), atol=2e-4, rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(gf), jax.tree_util.tree_leaves(gr)):
+        scale = max(1.0, float(jnp.max(jnp.abs(b))))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-3 * scale, rtol=2e-3
+        )
+    # and the mask actually dropped something (not a no-op)
+    z_nodrop, _ = fused_chain_train(x, blocks)
+    assert float(jnp.max(jnp.abs(zf - z_nodrop))) > 1e-3
+
+
+def test_chain_input_dropout_packed():
+    # packed chain path: kernels regenerate the mask from packed coords
+    _check_chain_dropout((8, 8, 16))
+
+
+def test_chain_input_dropout_unpackable():
+    # XLA-fallback chain path: the jnp oracle mask applies instead
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.rand(2, 12, 12, 4), jnp.float32)
+    blocks = [_params(rng, 4, 4), _params(rng, 4, 4)]
+    sd = jnp.int32(777)
+    zf, _ = fused_chain_train(x, blocks, drop_rate=0.3, drop_seed=sd)
+    zr, _ = chain_reference(x, blocks, drop_rate=0.3, drop_seed=sd)
+    np.testing.assert_allclose(np.asarray(zf), np.asarray(zr), atol=2e-4, rtol=1e-4)
+
+
+def test_chain_input_dropout_padded_channels():
+    # 3-channel first block: channel padding would shift packed coords,
+    # so the chain applies the (identical) mask outside the kernel
+    _check_chain_dropout((3, 8, 8))
+
+
+def test_chain_dropout_seed_changes_mask():
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.rand(2, HW, HW, 8), jnp.float32)
+    blocks = [_params(rng, 8, 8)]
+    z1, _ = fused_chain_train(x, blocks, drop_rate=0.4, drop_seed=jnp.int32(1))
+    z2, _ = fused_chain_train(x, blocks, drop_rate=0.4, drop_seed=jnp.int32(2))
+    assert float(jnp.max(jnp.abs(z1 - z2))) > 1e-3

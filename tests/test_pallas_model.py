@@ -147,3 +147,61 @@ def test_default_width_regime_parity():
             np.asarray(flat_g[key]), np.asarray(v), atol=5e-4, rtol=5e-3,
             err_msg=key,
         )
+
+
+def test_dropout_on_train_parity_hash_impl():
+    """With dropout ON and ``dropout_impl='hash'``, the Pallas chains and
+    the XLA model draw the SAME stateless position-hash masks (same
+    'dropout' rng => same per-site seeds => bit-identical keep decisions,
+    ops/hash_dropout.py), so whole-model train forward AND gradients stay
+    pinned — the parity story for fusing the reference's decoder-concat
+    Dropout (model/u_net.py:75-99) into the chain kernels."""
+    hw = 16
+    base = dict(
+        image_height=hw, image_width=hw, filters=(64, 128), dropout_rate=0.2
+    )
+    m_x = build_unet(ModelConfig(dropout_impl="hash", **base))
+    m_p = build_unet(ModelConfig(use_pallas=True, **base))  # auto -> hash
+    variables = init_unet(m_x, jax.random.PRNGKey(0), (hw, hw, 3))
+    x = jnp.asarray(np.random.RandomState(7).rand(2, hw, hw, 3), jnp.float32)
+    rngs = {"dropout": jax.random.PRNGKey(42)}
+    y_x, _ = m_x.apply(
+        variables, x, train=True, mutable=["batch_stats"], rngs=rngs
+    )
+    y_p, _ = m_p.apply(
+        variables, x, train=True, mutable=["batch_stats"], rngs=rngs
+    )
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x), atol=1e-4, rtol=1e-4)
+    # a different dropout key must change the output (dropout is live)
+    y_p2, _ = m_p.apply(
+        variables, x, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(43)},
+    )
+    assert float(jnp.max(jnp.abs(y_p2 - y_p))) > 1e-5
+
+    masks = jnp.asarray(
+        (np.random.RandomState(8).rand(2, hw, hw, 1) > 0.5), jnp.float32
+    )
+
+    def loss(model):
+        def fn(params):
+            preds, _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, train=True, mutable=["batch_stats"], rngs=rngs,
+            )
+            return dice_loss(masks, preds)
+        return fn
+
+    g_x = jax.grad(loss(m_x))(variables["params"])
+    g_p = jax.grad(loss(m_p))(variables["params"])
+    flat_g = dict(
+        (jax.tree_util.keystr(p), v)
+        for p, v in jax.tree_util.tree_leaves_with_path(g_p)
+    )
+    for path, v in jax.tree_util.tree_leaves_with_path(g_x):
+        key = jax.tree_util.keystr(path)
+        scale = max(1e-3, float(jnp.max(jnp.abs(v))))
+        np.testing.assert_allclose(
+            np.asarray(flat_g[key]), np.asarray(v),
+            atol=5e-3 * scale, rtol=5e-3, err_msg=key,
+        )

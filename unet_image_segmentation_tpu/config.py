@@ -46,6 +46,13 @@ class ModelConfig:
     compute_dtype: str = "float32"
     # Use the Pallas fused sepconv+BN+ReLU kernel where available.
     use_pallas: bool = False
+    # Training dropout mask generator: 'rng' = stateful threefry PRNG
+    # (flax nn.Dropout, reference-style); 'hash' = stateless position-hash
+    # (ops/hash_dropout.py) — fused into the Pallas training chains and
+    # bit-reproducible across the Pallas/XLA paths; 'auto' = 'hash'
+    # whenever the fused chains are active, else 'rng'.  Same per-element
+    # Bernoulli(rate) distribution either way (reference model/u_net.py:75-99).
+    dropout_impl: str = "auto"
 
     @property
     def input_shape(self) -> Tuple[int, int, int]:

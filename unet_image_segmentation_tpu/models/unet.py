@@ -43,6 +43,7 @@ class UNet(nn.Module):
     dtype: Any = jnp.float32
     bn_axis_name: Optional[str] = None
     use_pallas: bool = False
+    dropout_impl: str = "auto"  # 'auto' | 'hash' | 'rng' (see ModelConfig)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -80,6 +81,28 @@ class UNet(nn.Module):
             and self.conv_type == "separable"
         )
 
+        # Position-hash dropout (ops/hash_dropout.py): stateless masks
+        # that the fused chain kernels regenerate in VMEM from absolute
+        # coordinates — no mask tensor in HBM, no threefry bit stream —
+        # and that the XLA path reproduces bit-identically, keeping
+        # Pallas-vs-XLA train parity exact with dropout ON.  One seed per
+        # dropout site per step, derived from the 'dropout' rng.
+        hash_drop = (
+            train
+            and self.dropout_rate > 0.0
+            and (
+                self.dropout_impl == "hash"
+                or (self.dropout_impl == "auto" and use_chain)
+            )
+        )
+        if hash_drop:
+            from unet_image_segmentation_tpu.ops import hash_dropout as hd
+
+            _dkey = self.make_rng("dropout")
+
+            def site_seed(site: int) -> jax.Array:
+                return hd.seed_from_rng(jax.random.fold_in(_dkey, site))
+
         def _update_bn(stats, pvars_pair):
             if self.is_initializing():
                 return
@@ -102,6 +125,8 @@ class UNet(nn.Module):
             name2: str,
             in_packed: Optional[int] = None,
             c_in: Optional[int] = None,
+            drop_rate: float = 0.0,
+            drop_seed: Optional[jax.Array] = None,
         ) -> jax.Array:
             b1, b2 = block(feats, name1), block(feats, name2)
             if not use_chain:
@@ -119,6 +144,8 @@ class UNet(nn.Module):
                 eps=1e-3,
                 axis_name=self.bn_axis_name,
                 in_packed=in_packed,
+                drop_rate=drop_rate,
+                drop_seed=drop_seed,
             )
             _update_bn(stats, (p1, p2))
             return z
@@ -187,9 +214,16 @@ class UNet(nn.Module):
             c_in=(x.shape[-1] // bneck_p) if bneck_p else None,
         )
         if self.dropout_rate > 0.0:
-            x = nn.Dropout(
-                rate=self.dropout_rate, deterministic=not train, name="bneck_dropout"
-            )(x)
+            if hash_drop:
+                # cheap coordinate-hash mask (~10 int VPU ops/elem vs a
+                # threefry bit stream); XLA fuses it into the consumer
+                x = hd.hash_dropout(x, site_seed(0), self.dropout_rate)
+            else:
+                x = nn.Dropout(
+                    rate=self.dropout_rate,
+                    deterministic=not train,
+                    name="bneck_dropout",
+                )(x)
 
         # --- Decoder ---
         rev_filters = tuple(reversed(self.filters))
@@ -231,12 +265,15 @@ class UNet(nn.Module):
                     ],
                     axis=-1,
                 )
-                if has_dropout:
+                if has_dropout and not hash_drop:
                     cat = nn.Dropout(
                         rate=self.dropout_rate,
                         deterministic=False,
                         name=f"dec{stage}_dropout",
                     )(cat)
+                # hash dropout fuses into the chain's first kernel: the
+                # mask is a pure function of logical (b,h,w,c) coords, so
+                # the packed layout regenerates it exactly (u_net.py:96-99)
                 x = run_pair(
                     cat,
                     f,
@@ -244,6 +281,8 @@ class UNet(nn.Module):
                     f"dec{stage}_block2",
                     in_packed=p_dec,
                     c_in=2 * f,
+                    drop_rate=self.dropout_rate if (has_dropout and hash_drop) else 0.0,
+                    drop_seed=site_seed(stage) if (has_dropout and hash_drop) else None,
                 )
                 continue
             x = TransposeUp(features=f, dtype=self.dtype, name=f"dec{stage}_upsample")(x)
@@ -258,12 +297,29 @@ class UNet(nn.Module):
                 # halves (u_net.py:96-99), and the factored backward is
                 # slower than XLA's concat backward (measured on v5e).
                 x = jnp.concatenate([x, skip], axis=-1)
+                if has_dropout and hash_drop and use_chain:
+                    # fused into the chain's first kernel (same mask as
+                    # the packed path: logical-coordinate hash)
+                    x = run_pair(
+                        x,
+                        f,
+                        f"dec{stage}_block1",
+                        f"dec{stage}_block2",
+                        drop_rate=self.dropout_rate,
+                        drop_seed=site_seed(stage),
+                    )
+                    continue
                 if has_dropout:
-                    x = nn.Dropout(
-                        rate=self.dropout_rate,
-                        deterministic=False,
-                        name=f"dec{stage}_dropout",
-                    )(x)
+                    if hash_drop:
+                        x = hd.hash_dropout(
+                            x, site_seed(stage), self.dropout_rate
+                        )
+                    else:
+                        x = nn.Dropout(
+                            rate=self.dropout_rate,
+                            deterministic=False,
+                            name=f"dec{stage}_dropout",
+                        )(x)
                 x = run_pair(
                     x, f, f"dec{stage}_block1", f"dec{stage}_block2"
                 )
@@ -305,6 +361,7 @@ def build_unet(cfg: ModelConfig, bn_axis_name: Optional[str] = None) -> UNet:
         dtype=jnp.dtype(cfg.compute_dtype),
         bn_axis_name=bn_axis_name,
         use_pallas=cfg.use_pallas,
+        dropout_impl=getattr(cfg, "dropout_impl", "auto"),
     )
 
 

@@ -42,10 +42,12 @@ from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from unet_image_segmentation_tpu.ops import conv as conv_ops
+from unet_image_segmentation_tpu.ops import hash_dropout as hd
 from unet_image_segmentation_tpu.ops.pallas import fused_sepconv as fs
 
 
@@ -93,6 +95,7 @@ def _fwd_train_kernel(
     aff_ref,      # (2, pC) VMEM: row0 in_scale, row1 in_shift
     dwk_ref,      # (3, 3, pC) VMEM
     pww_ref,      # (pC, pF) VMEM
+    seed_ref,     # (1, 1) SMEM int32: hash-dropout seed (0 when unused)
     out_hbm,      # (B, H, Wp, pF) ANY
     sum_ref,      # (8, pF) VMEM accumulated (row 0)
     sq_ref,       # (8, pF) VMEM accumulated (row 0)
@@ -107,6 +110,9 @@ def _fwd_train_kernel(
     n_tiles: int,
     c: int,
     in_affine: bool,
+    pack_p: int = 1,
+    drop_thresh: int = 0,
+    inv_keep: float = 1.0,
 ):
     """Double-buffered sepconv forward with optional input affine+ReLU.
 
@@ -115,6 +121,13 @@ def _fwd_train_kernel(
     on the fly.  Virtual edge rows are re-zeroed AFTER the transform
     ('same' padding pads the POST-activation z with zeros, and
     ``relu(b) != 0`` in general).
+
+    With ``drop_thresh`` the loaded slab gets position-hash dropout
+    (``ops/hash_dropout.py``) applied in VMEM: the mask is a pure function
+    of absolute logical coordinates + seed, so the backward kernel —
+    tiled differently — regenerates it bit-identically from the saved
+    pre-dropout residual.  The chain applies this only on its FIRST block
+    (the chain input; reference decoder dropout, ``u_net.py:96-99``).
     """
     b = pl.program_id(0)
     wp = xbuf.shape[2]
@@ -175,6 +188,16 @@ def _fwd_train_kernel(
             ).wait()
         else:
             _edge_cases(j, slot, "wait")
+
+        if drop_thresh:
+            # slab row i is absolute row j*tile_h - 1 + i (edge variants
+            # leave virtual rows, zero-filled below — their mask values
+            # never matter)
+            keep = hd.slab_keep_mask(
+                b, j * tile_h - 1, tile_h + 2, wp, pc,
+                n_tiles * tile_h, pack_p, c, seed_ref[0, 0], drop_thresh,
+            )
+            xbuf[slot] = hd.apply_keep(xbuf[slot], keep, inv_keep)
 
         if in_affine:
             z = (
@@ -272,12 +295,16 @@ def _fwd_train_packed(
     in_shift: Optional[jax.Array],
     p: int,
     c: int,
+    drop_rate: float = 0.0,
+    drop_seed: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """(y_packed, sum, sumsq); operands packed with a caller-chosen p."""
     b, h, wp, pc = xp.shape
     f = pww.shape[1]
     w = wp * p
     in_affine = in_scale is not None
+    drop = drop_rate > 0.0
+    assert not (drop and in_affine), "dropout fuses on the chain input only"
     if p > 1:
         dwk_p = jnp.tile(dwk, (1, 1, p))
         pww_p = jnp.kron(jnp.eye(p, dtype=pww.dtype), pww)
@@ -292,14 +319,27 @@ def _fwd_train_packed(
         )
     else:
         aff = jnp.zeros((2, pc), jnp.float32)
-    tile_h = fs._pick_tile_h(h, wp, max(pc, pf), vmem_budget=fs.vmem_budget(6))
+    # the dropout mask's int32 iota/hash temporaries add ~2 f32-sized
+    # slabs of VMEM pressure — shave the tile budget when active
+    tile_h = fs._pick_tile_h(
+        h, wp, max(pc, pf), vmem_budget=fs.vmem_budget(4.5 if drop else 6)
+    )
     n_tiles = h // tile_h
+    seed_arr = jnp.reshape(
+        (drop_seed if drop else jnp.int32(0)).astype(jnp.int32)
+        if drop
+        else jnp.int32(0),
+        (1, 1),
+    )
     kernel = functools.partial(
         _fwd_train_kernel,
         tile_h=tile_h,
         n_tiles=n_tiles,
         c=c,
         in_affine=in_affine,
+        pack_p=p,
+        drop_thresh=hd.keep_threshold(drop_rate) if drop else 0,
+        inv_keep=1.0 / (1.0 - drop_rate) if drop else 1.0,
     )
     y_p, s_p, q_p = pl.pallas_call(
         kernel,
@@ -309,6 +349,7 @@ def _fwd_train_packed(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
@@ -335,7 +376,7 @@ def _fwd_train_packed(
         ),
         compiler_params=fs.vmem_params(),
         interpret=_use_interpret(),
-    )(xp, aff, dwk_p, pww_p)
+    )(xp, aff, dwk_p, pww_p, seed_arr)
     s = s_p[0].reshape(p, f).sum(axis=0)
     q = q_p[0].reshape(p, f).sum(axis=0)
     return y_p, s, q
@@ -347,6 +388,8 @@ def _fwd_train_pallas(
     pww: jax.Array,     # (C, F)
     in_scale: Optional[jax.Array],  # (C,) or None
     in_shift: Optional[jax.Array],  # (C,) or None
+    drop_rate: float = 0.0,
+    drop_seed: Optional[jax.Array] = None,
 ) -> Optional[Tuple[jax.Array, jax.Array, jax.Array]]:
     """(y, sum, sumsq) with optional fused input affine+ReLU; None = no fit."""
     b, h, w, c = x.shape
@@ -355,7 +398,10 @@ def _fwd_train_pallas(
     if p is None:
         return None
     xp = x.reshape(b, h, w // p, p * c)
-    y_p, s, q = _fwd_train_packed(xp, dwk, pww, in_scale, in_shift, p, c)
+    y_p, s, q = _fwd_train_packed(
+        xp, dwk, pww, in_scale, in_shift, p, c,
+        drop_rate=drop_rate, drop_seed=drop_seed,
+    )
     return y_p.reshape(b, h, w, f), s, q
 
 
@@ -1067,6 +1113,7 @@ def _bwd_train_kernel(
     comb_ref,     # (6, pF): A, B, C, mean_out, a_out, b_out
     dwk_ref,      # (3, 3, pC)
     pwt_ref,      # (pF, pC)
+    seed_ref,     # (1, 1) SMEM int32: hash-dropout seed (0 when unused)
     dx_hbm,       # (B, H, Wp, pC) ANY — manual write-back
     ddw_ref,      # (16, pC)
     dpw_ref,      # (pC, pF)
@@ -1088,6 +1135,9 @@ def _bwd_train_kernel(
     in_affine: bool,
     combine: bool,
     mask_combine: bool,
+    pack_p: int = 1,
+    drop_thresh: int = 0,
+    inv_keep: float = 1.0,
 ):
     """Fused chain backward for one block (see module docstring).
 
@@ -1304,6 +1354,16 @@ def _bwd_train_kernel(
             else:
                 prods.append(dz)
                 prods.append(dz * xhat)
+        if drop_thresh:
+            # chain-input dropout (first block only): regenerate the
+            # forward's position-hash mask — dx w.r.t. the pre-dropout
+            # input is mask * dz / keep, and the weight grads below use
+            # the DROPPED input as the conv operand.
+            keep_slab = hd.slab_keep_mask(
+                b, row0 - 1, tile_h + 2, wp, pc,
+                n_tiles * tile_h, pack_p, c, seed_ref[0, 0], drop_thresh,
+            )
+            dz = jnp.where(keep_slab[1 : 1 + tile_h], dz * inv_keep, 0.0)
         dxbuf[slot, pl.ds(base, tile_h)] = dz.astype(dxbuf.dtype)
 
         # --- weight grads: need the conv input z (recomputed from the
@@ -1324,6 +1384,8 @@ def _bwd_train_kernel(
             z_slab = jnp.where(virt, 0.0, z_slab)
         else:
             z_slab = xbuf[slot, pl.ds(base, tile_h + 2)].astype(jnp.float32)
+            if drop_thresh:
+                z_slab = jnp.where(keep_slab, z_slab * inv_keep, 0.0)
         z_next = shift_pixels(z_slab, +1)    # pixel w+1 (for dj == 2)
         z_prev = shift_pixels(z_slab, -1)    # pixel w-1 (for dj == 0)
 
@@ -1419,7 +1481,7 @@ def _bwd_train_kernel(
         ssum_ref[...] = ssum_ref[...] + st_acc[...]
 
 
-def _pick_tile_h_bwd3(h, wp, pc, pf, combine):
+def _pick_tile_h_bwd3(h, wp, pc, pf, combine, drop=False):
     """(compute_tile_rows, super_k): the DMA super-tile moves
     ``super_k * tile`` rows per transfer (large transfers stream ~30%
     faster than 16-row slabs on v5e), while the f32 body temporaries are
@@ -1432,6 +1494,9 @@ def _pick_tile_h_bwd3(h, wp, pc, pf, combine):
     # body temporaries: phase 1 holds gy(f32 pf) + dm/dm_next/dm_prev +
     # dz (f32 pc); phase 2 holds dm + z/z_next/z_prev + m (f32 pc)
     per_body_row = wp * (4 * pf + 16 * pc + (4 * pf if combine else 0))
+    if drop:
+        # position-hash mask temporaries: iota/hash int32 + bool slab
+        per_body_row += wp * 8 * pc
     fixed = pc * pf * 8
     def fits(tile, S):
         working = (
@@ -1465,6 +1530,8 @@ def _bwd_train_packed(
     mask_combine: bool,
     p: int,
     c: int,
+    drop_rate: float = 0.0,
+    drop_seed: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """(dx_packed, ddw, dpw, stat_sums (2, C)); packed operands, chosen p."""
     b, h, wp, pc = xp.shape
@@ -1472,6 +1539,8 @@ def _bwd_train_packed(
     w = wp * p
     in_affine = in_aff is not None
     combine = comb is not None
+    drop = drop_rate > 0.0
+    assert not (drop and in_affine), "dropout fuses on the chain input only"
     pf = p * f
     if yp is None:
         yp = gp  # dummy alias when unused
@@ -1493,9 +1562,12 @@ def _bwd_train_packed(
         else jnp.zeros((6, pf), jnp.float32)
     )
 
-    tile_h, super_k = _pick_tile_h_bwd3(h, wp, pc, pf, combine)
+    tile_h, super_k = _pick_tile_h_bwd3(h, wp, pc, pf, combine, drop=drop)
     n_tiles = h // tile_h
     S = super_k * tile_h
+    seed_arr = jnp.reshape(
+        drop_seed.astype(jnp.int32) if drop else jnp.int32(0), (1, 1)
+    )
     kernel = functools.partial(
         _bwd_train_kernel,
         tile_h=tile_h,
@@ -1505,6 +1577,9 @@ def _bwd_train_packed(
         in_affine=in_affine,
         combine=combine,
         mask_combine=mask_combine,
+        pack_p=p,
+        drop_thresh=hd.keep_threshold(drop_rate) if drop else 0,
+        inv_keep=1.0 / (1.0 - drop_rate) if drop else 1.0,
     )
     ybuf_shape = (2, S + 2, wp, pf) if combine else (2, 1, 1, pf)
     dx_p, ddw_p, dpw_p, st_p = pl.pallas_call(
@@ -1518,6 +1593,7 @@ def _bwd_train_packed(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
@@ -1550,7 +1626,7 @@ def _bwd_train_packed(
         ),
         compiler_params=fs.vmem_params(),
         interpret=_use_interpret(),
-    )(xp, gp, yp, in_aff_p, comb_p, dwk_p, pwt)
+    )(xp, gp, yp, in_aff_p, comb_p, dwk_p, pwt, seed_arr)
 
     ddw = ddw_p[:9].reshape(3, 3, p, c).sum(axis=2)
     dpw = sum(
@@ -1569,6 +1645,8 @@ def _bwd_train_pallas(
     in_aff: Optional[jnp.ndarray],   # (4, C) or None
     comb: Optional[jnp.ndarray],     # (6, F) or None
     mask_combine: bool,
+    drop_rate: float = 0.0,
+    drop_seed: Optional[jax.Array] = None,
 ) -> Optional[Tuple[jax.Array, jax.Array, jax.Array, jax.Array]]:
     """Returns (dx, ddw, dpw, stat_sums (2, C)) or None when no packing fits."""
     b, h, w, c = x.shape
@@ -1581,7 +1659,8 @@ def _bwd_train_pallas(
     gp = g.reshape(b, h, wp, pf)
     yp = y.reshape(b, h, wp, pf) if comb is not None else None
     dx_p, ddw, dpw, st = _bwd_train_packed(
-        xp, gp, yp, dwk, pww, in_aff, comb, mask_combine, p, c
+        xp, gp, yp, dwk, pww, in_aff, comb, mask_combine, p, c,
+        drop_rate=drop_rate, drop_seed=drop_seed,
     )
     return dx_p.reshape(b, h, w, c), ddw, dpw, st
 
@@ -1615,11 +1694,18 @@ def _sepconv_raw(x, dwk, pww):
     ).astype(x.dtype)
 
 
-def chain_reference(z_in, params, eps=1e-3, axis_name=None):
+def chain_reference(
+    z_in, params, eps=1e-3, axis_name=None, drop_rate=0.0, drop_seed=None
+):
     """Composed-XLA chain with identical semantics: for each block,
     sepconv -> batch moments (of the output-dtype-cast activations) ->
-    normalize -> ReLU; returns (z_out, [(mean, var)] per block)."""
+    normalize -> ReLU; returns (z_out, [(mean, var)] per block).
+    ``drop_rate``/``drop_seed``: position-hash dropout of the chain input
+    — the SAME mask the fused kernels regenerate (``ops/hash_dropout``),
+    so fused-vs-reference parity stays exact with dropout on."""
     z = z_in
+    if drop_rate > 0.0:
+        z = hd.hash_dropout(z, drop_seed, drop_rate)
     stats = []
     n_local = z.shape[0] * z.shape[1] * z.shape[2]
     n = n_local * (
@@ -1657,13 +1743,21 @@ def _unflatten_params(flat):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
-def _chain_core(n_blocks, eps, axis_name, pool_p2, in_p, z_in, *flat_params):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _chain_core(
+    n_blocks, eps, axis_name, pool_p2, in_p, drop_rate,
+    z_in, drop_seed, *flat_params,
+):
     """Returns (z_out, ((mean, var), ...) per block); with ``pool_p2``
     returns (z_out_packed, pooled_packed, stats) — see
-    :func:`fused_chain_train_pool`."""
+    :func:`fused_chain_train_pool`.  ``drop_rate`` > 0 applies
+    position-hash dropout (``ops/hash_dropout.py``) to the CHAIN INPUT
+    inside the first block's kernels (forward applies the mask in VMEM
+    right after the slab DMA; backward regenerates it bit-identically
+    from absolute coordinates + ``drop_seed``)."""
     outputs, _ = _chain_fwd_impl(
-        n_blocks, eps, axis_name, pool_p2, in_p, z_in, flat_params
+        n_blocks, eps, axis_name, pool_p2, in_p, drop_rate,
+        z_in, drop_seed, flat_params,
     )
     return outputs
 
@@ -1675,7 +1769,10 @@ def _chain_channels(z_in, blocks):
     return chans
 
 
-def _chain_fwd_impl(n_blocks, eps, axis_name, pool_p2, in_p, z_in, flat_params):
+def _chain_fwd_impl(
+    n_blocks, eps, axis_name, pool_p2, in_p, drop_rate,
+    z_in, drop_seed, flat_params,
+):
     """Returns ((z_out[, pooled], mean/var per block), residuals).
 
     When one pack factor aligns every channel count in the chain, the
@@ -1714,8 +1811,9 @@ def _chain_fwd_impl(n_blocks, eps, axis_name, pool_p2, in_p, z_in, flat_params):
     in_aff = None          # (a, b) pending affine for the next conv
     ys = []                # raw outputs per block (packed iff p > 1)
     stats = []             # (mean, var) per block
-    for (dwk, pww, gamma, beta) in blocks:
+    for bk, (dwk, pww, gamma, beta) in enumerate(blocks):
         c = dwk.shape[2]
+        dr = drop_rate if bk == 0 else 0.0   # dropout = chain input only
         if p > 1:
             y, s, q = _fwd_train_packed(
                 z_or_y,
@@ -1725,6 +1823,8 @@ def _chain_fwd_impl(n_blocks, eps, axis_name, pool_p2, in_p, z_in, flat_params):
                 in_aff[1] if in_aff is not None else None,
                 p,
                 c,
+                drop_rate=dr,
+                drop_seed=drop_seed if dr else None,
             )
         else:
             fused = _fwd_train_pallas(
@@ -1733,6 +1833,8 @@ def _chain_fwd_impl(n_blocks, eps, axis_name, pool_p2, in_p, z_in, flat_params):
                 pww,
                 in_aff[0] if in_aff is not None else None,
                 in_aff[1] if in_aff is not None else None,
+                drop_rate=dr,
+                drop_seed=drop_seed if dr else None,
             )
             if fused is None:
                 _warn_fallback(
@@ -1740,6 +1842,9 @@ def _chain_fwd_impl(n_blocks, eps, axis_name, pool_p2, in_p, z_in, flat_params):
                     f"{pww.shape[1]}ch, unpacked)"
                 )
                 z = z_or_y
+                if dr:
+                    # same mask as the kernels: logical coords + seed
+                    z = hd.hash_dropout(z, drop_seed, dr)
                 if in_aff is not None:
                     z = jnp.maximum(
                         z_or_y.astype(jnp.float32) * in_aff[0] + in_aff[1],
@@ -1821,19 +1926,25 @@ def _chain_fwd_impl(n_blocks, eps, axis_name, pool_p2, in_p, z_in, flat_params):
         if p > 1:
             z_out = z_out.reshape(b, h, w, f_last)
         outputs = (z_out, tuple(stats))
-    residuals = (z_first, tuple(ys), tuple(stats), flat_params, n, p)
+    residuals = (z_first, tuple(ys), tuple(stats), flat_params, n, p, drop_seed)
     return outputs, residuals
 
 
-def _chain_fwd(n_blocks, eps, axis_name, pool_p2, in_p, z_in, *flat_params):
+def _chain_fwd(
+    n_blocks, eps, axis_name, pool_p2, in_p, drop_rate,
+    z_in, drop_seed, *flat_params,
+):
     outputs, residuals = _chain_fwd_impl(
-        n_blocks, eps, axis_name, pool_p2, in_p, z_in, flat_params
+        n_blocks, eps, axis_name, pool_p2, in_p, drop_rate,
+        z_in, drop_seed, flat_params,
     )
     return outputs, residuals
 
 
-def _chain_bwd(n_blocks, eps, axis_name, pool_p2, in_p, residuals, cotangents):
-    z_first, ys, stats, flat_params, n, p = residuals
+def _chain_bwd(
+    n_blocks, eps, axis_name, pool_p2, in_p, drop_rate, residuals, cotangents
+):
+    z_first, ys, stats, flat_params, n, p, drop_seed = residuals
     if pool_p2:
         g_zout, g_pool, stats_cot = cotangents
     else:
@@ -2000,6 +2111,7 @@ def _chain_bwd(n_blocks, eps, axis_name, pool_p2, in_p, residuals, cotangents):
             ]
         )
 
+        dr = drop_rate if k == 0 else 0.0   # dropout = chain input only
         if p > 1:
             fused = _bwd_train_packed(
                 x_in,
@@ -2012,6 +2124,8 @@ def _chain_bwd(n_blocks, eps, axis_name, pool_p2, in_p, residuals, cotangents):
                 mask_combine=not g_is_masked,
                 p=p,
                 c=dwk.shape[2],
+                drop_rate=dr,
+                drop_seed=drop_seed if dr else None,
             )
         else:
             fused = _bwd_train_pallas(
@@ -2023,6 +2137,8 @@ def _chain_bwd(n_blocks, eps, axis_name, pool_p2, in_p, residuals, cotangents):
                 in_aff,
                 comb,
                 mask_combine=not g_is_masked,
+                drop_rate=dr,
+                drop_seed=drop_seed if dr else None,
             )
         if fused is None:
             # composed-XLA fallback for this link (identical math)
@@ -2039,6 +2155,14 @@ def _chain_bwd(n_blocks, eps, axis_name, pool_p2, in_p, residuals, cotangents):
                 zf = jnp.maximum(
                     x_in.astype(jnp.float32) * in_aff[0] + in_aff[1], 0.0
                 ).astype(x_in.dtype)
+            elif dr:
+                # regenerate the chain-input dropout mask (p == 1 here:
+                # the packed call never falls back)
+                keep = hd.array_keep_mask(
+                    x_in.shape, 1, x_in.shape[-1],
+                    drop_seed.astype(jnp.int32), hd.keep_threshold(dr),
+                )
+                zf = hd.apply_keep(x_in, keep, 1.0 / (1.0 - dr))
             else:
                 zf = x_in
 
@@ -2053,7 +2177,12 @@ def _chain_bwd(n_blocks, eps, axis_name, pool_p2, in_p, residuals, cotangents):
                 dx = dzt_prev.astype(x_in.dtype)
             else:
                 S_prev = T_prev = None
-                dx = dz.astype(x_in.dtype)
+                if dr:
+                    dx = hd.apply_keep(dz, keep, 1.0 / (1.0 - dr)).astype(
+                        x_in.dtype
+                    )
+                else:
+                    dx = dz.astype(x_in.dtype)
         else:
             dx, ddw, dpw, st = fused
             if in_aff is not None:
@@ -2080,7 +2209,9 @@ def _chain_bwd(n_blocks, eps, axis_name, pool_p2, in_p, residuals, cotangents):
         bsz, h, wp, pc = dz_in.shape
         dz_in = dz_in.reshape(bsz, h, wp * p, pc // p)
     flat_grads = _flatten_params(grads_per_block)
-    return (dz_in, *flat_grads)
+    # int32 seed cotangent: float0 (no tangent space)
+    d_seed = np.zeros(np.shape(drop_seed), jax.dtypes.float0)
+    return (dz_in, d_seed, *flat_grads)
 
 
 _chain_core.defvjp(_chain_fwd, _chain_bwd)
@@ -2140,6 +2271,8 @@ def fused_chain_train(
     eps: float = 1e-3,
     axis_name: Optional[str] = None,
     in_packed: Optional[int] = None,
+    drop_rate: float = 0.0,
+    drop_seed: Optional[jax.Array] = None,
 ):
     """Train-mode ConvBlock chain: z_in -> [sepconv -> BN -> ReLU] x N.
 
@@ -2151,12 +2284,29 @@ def fused_chain_train(
     input).  ``in_packed``: the input already arrives in the chain's
     packed ``(B, H, W/p, p*C)`` layout (e.g. the decoder's fused
     upsample+concat feed) — must equal the chain's own pack factor; the
-    output leaves unpacked either way.  Rebuilds the reference
-    conv_block chain semantics (reference model/u_net.py:5-26, Keras BN
-    eps 1e-3, biased variance).
+    output leaves unpacked either way.  ``drop_rate``/``drop_seed``:
+    position-hash dropout of the chain INPUT, fused into the first
+    block's kernels (the reference's decoder-concat Dropout,
+    model/u_net.py:96-99); the mask is the pure coordinate hash of
+    ``ops/hash_dropout.py``, so :func:`chain_reference` with the same
+    seed reproduces it EXACTLY.  Rebuilds the reference conv_block chain
+    semantics (reference model/u_net.py:5-26, Keras BN eps 1e-3, biased
+    variance).
     """
     if in_packed in (None, 1):
+        c_orig = z_in.shape[-1]
         z_in, blocks = _pad_narrow_input(z_in, blocks)
+        if drop_rate > 0.0 and z_in.shape[-1] != c_orig:
+            # padded channels would shift the mask's logical coords away
+            # from the oracle's — apply the (same) hash mask outside the
+            # chain on the unpadded lanes instead, numerics unchanged
+            dropped = hd.hash_dropout(
+                z_in[..., :c_orig], drop_seed, drop_rate
+            )
+            z_in = jnp.pad(
+                dropped, ((0, 0),) * 3 + ((0, z_in.shape[-1] - c_orig),)
+            )
+            drop_rate = 0.0
         in_p = None
         c0 = z_in.shape[-1]
     else:
@@ -2164,7 +2314,13 @@ def fused_chain_train(
         c0 = z_in.shape[-1] // in_p
     prepped = _prep_blocks(z_in.dtype, c0, blocks)
     flat = _flatten_params(prepped)
-    return _chain_core(len(prepped), eps, axis_name, None, in_p, z_in, *flat)
+    seed = jnp.asarray(
+        drop_seed if drop_seed is not None else 0, jnp.int32
+    )
+    return _chain_core(
+        len(prepped), eps, axis_name, None, in_p, float(drop_rate),
+        z_in, seed, *flat,
+    )
 
 
 def chain_pack_of(channels, w: int) -> int:
@@ -2203,7 +2359,8 @@ def fused_chain_train_pool(
     prepped = _prep_blocks(z_in.dtype, c0, blocks)
     flat = _flatten_params(prepped)
     z_p, pooled, stats = _chain_core(
-        len(prepped), eps, axis_name, int(pool_to_pack), in_p, z_in, *flat
+        len(prepped), eps, axis_name, int(pool_to_pack), in_p, 0.0,
+        z_in, jnp.int32(0), *flat,
     )
     p = _chain_common_pack(
         [c0] + [blk[1].shape[-1] for blk in prepped], w
