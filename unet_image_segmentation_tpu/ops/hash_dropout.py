@@ -73,23 +73,18 @@ def logical_idx_packed(
 ) -> jax.Array:
     """Flat LOGICAL (b, h, w, c) index of packed-layout coordinates.
 
-    Packed layout ``(B, H, W/p, p*C)``: element ``[b, h, wq, j]`` is
-    logical ``[b, h, wq*p + j//C, j % C]``.  ``c`` must be a power of two
-    (true for every chain stage after input padding) so // and % lower to
-    shift/mask on the VPU.  int32 wrap-around on huge tensors is harmless:
-    it is identical everywhere the index is computed.
+    Packed layout ``(B, H, W/p, p*C)`` is a pure row-major reshape of
+    NHWC, so the flat logical index of element ``[b, h, wq, j]`` is just
+    the flat PACKED index: with ``j = q*c + s`` (``q`` the w-offset,
+    ``s`` the channel), ``w_log*c + c_log = (wq*p + q)*c + s =
+    wq*(p*c) + j`` — layout invariance for free, no //, %, or
+    power-of-two requirement.  int32 wrap-around on huge tensors is
+    harmless: it is identical everywhere the index is computed.
     """
-    if p > 1:
-        assert c & (c - 1) == 0, f"channel count {c} must be a power of 2"
-        log2c = int(c).bit_length() - 1
-        w_log = wcol * np.int32(p) + lax.shift_right_logical(lane, log2c)
-        c_log = lane & np.int32(c - 1)
-    else:
-        w_log, c_log = wcol, lane
-    w_total = wp * p
+    pc = np.int32(p * c)
     return (
-        (bidx * np.int32(h_total) + rows) * np.int32(w_total) + w_log
-    ) * np.int32(c) + c_log
+        bidx * np.int32(h_total) + rows
+    ) * np.int32(wp) * pc + wcol * pc + lane
 
 
 def slab_keep_mask(
