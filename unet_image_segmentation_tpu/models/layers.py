@@ -284,7 +284,9 @@ class TransposeUp(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, out_pack: int = 1) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, out_pack: int = 1, params_only: bool = False
+    ):
         c = x.shape[-1]
         kernel = self.param(
             "kernel", glorot_uniform, (2, 2, self.features, c), jnp.float32
@@ -294,6 +296,10 @@ class TransposeUp(nn.Module):
             if self.use_bias
             else None
         )
+        if params_only:
+            # fused paths (ops/pallas/fused_upconcat.py) consume the raw
+            # params; the variable tree stays identical to the module path
+            return kernel, bias
         if out_pack > 1:
             return conv_ops.conv_transpose_2x2_packed(
                 x.astype(self.dtype), kernel, bias, out_pack

@@ -246,10 +246,54 @@ class UNet(nn.Module):
                 if use_chain
                 else 1
             )
+            up_mod = TransposeUp(
+                features=f, dtype=self.dtype, name=f"dec{stage}_upsample"
+            )
+            if (
+                train
+                and use_chain
+                and isinstance(rev_skips[i], tuple)
+                and (hash_drop or not has_dropout)
+            ):
+                # One-kernel decoder feed: TransposeUp matmul + row
+                # interleave + [up | skip] concat fused
+                # (ops/pallas/fused_upconcat.py), emitting the chain's
+                # packed-2 input directly — no pad/stack/relayout chain
+                # between the upsample and the stage kernels.  (With
+                # rng-impl dropout the mask must apply on the materialized
+                # concat, so that configuration keeps the composed path.)
+                z_p, p_skip, (bsz, sh, sw, sf) = rev_skips[i]
+                if p_skip >= 2 and p_skip % 2 == 0:
+                    from unet_image_segmentation_tpu.ops.pallas.fused_upconcat import (
+                        fused_upconcat,
+                    )
+
+                    k_up, b_up = up_mod(x, params_only=True)
+                    cat2 = fused_upconcat(
+                        x.astype(self.dtype), k_up, b_up, z_p, p_skip
+                    )
+                    if cat2 is not None:
+                        x = run_pair(
+                            cat2,
+                            f,
+                            f"dec{stage}_block1",
+                            f"dec{stage}_block2",
+                            in_packed=2,
+                            c_in=2 * f,
+                            drop_rate=(
+                                self.dropout_rate
+                                if (has_dropout and hash_drop)
+                                else 0.0
+                            ),
+                            drop_seed=(
+                                site_seed(stage)
+                                if (has_dropout and hash_drop)
+                                else None
+                            ),
+                        )
+                        continue
             if train and use_chain and p_dec >= 2 and isinstance(rev_skips[i], tuple):
-                up_p = TransposeUp(
-                    features=f, dtype=self.dtype, name=f"dec{stage}_upsample"
-                )(x, out_pack=p_dec)
+                up_p = up_mod(x, out_pack=p_dec)
                 z_p, p_skip, (bsz, sh, sw, sf) = rev_skips[i]
                 skip_p = z_p.reshape(bsz, sh, sw, sf).reshape(
                     bsz, sh, sw // p_dec, p_dec * sf
@@ -285,7 +329,7 @@ class UNet(nn.Module):
                     drop_seed=site_seed(stage) if (has_dropout and hash_drop) else None,
                 )
                 continue
-            x = TransposeUp(features=f, dtype=self.dtype, name=f"dec{stage}_upsample")(x)
+            x = up_mod(x)
             skip = rev_skips[i]
             if isinstance(skip, tuple):  # packed skip from the fused encoder
                 z_p, p_skip, (bsz, sh, sw, sf) = skip

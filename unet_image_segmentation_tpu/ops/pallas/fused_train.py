@@ -1791,9 +1791,15 @@ def _chain_fwd_impl(
         b, h, wp0, pc0 = z_in.shape
         w = wp0 * in_p
         p = in_p
-        assert p == (_chain_common_pack([pc0 // in_p] + [
-            blk[1].shape[-1] for blk in blocks
-        ], w) or 1), "in_p must equal the chain's own pack factor"
+        # any caller-chosen pack is fine as long as every link's lane
+        # count tiles (the kernels are parameterized by p); a pack wider
+        # than the minimal one costs p-fold block-diagonal redundancy in
+        # the pointwise matmuls — callers trade that off against layout
+        # conversions (e.g. the fused upconcat feed emits p=2 directly)
+        chans = [pc0 // in_p] + [blk[1].shape[-1] for blk in blocks]
+        assert all((in_p * c) % fs.LANE == 0 for c in chans) and (
+            w % in_p == 0
+        ), f"in_p={in_p} does not tile chain channels {chans} at w={w}"
         z_first = z_in
     else:
         b, h, w, _ = z_in.shape
