@@ -99,6 +99,18 @@ def _regroup_mat(th2: int, wc: int, ws: int, k: int, K: int, dtype):
     return jnp.logical_and(t_r == t_c, wc_r == ws_c * K + k).astype(dtype)
 
 
+def _regroup_mat_t(th2: int, wc: int, ws: int, k: int, K: int, dtype):
+    """Transpose of :func:`_regroup_mat`, built directly from iotas (an
+    in-kernel ``.T`` would lower as a real Mosaic transpose op)."""
+    rows = th2 * ws
+    cols = th2 * wc
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    d = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    t_r, ws_r = r // ws, r % ws
+    t_c, wc_c = d // wc, d % wc
+    return jnp.logical_and(t_r == t_c, wc_c == ws_r * K + k).astype(dtype)
+
+
 def _expand_skip(s_par, th2, w_dim, f, K, dtype):
     """(th2, Ws, p_s*F) skip rows -> (th2, W, 2F) in cat column order.
 
@@ -128,10 +140,10 @@ def _compress_dskip(ds_par, th2, w_dim, f, K, ws_dim, dtype):
     d2d = ds_par.reshape(th2 * w_dim, 2 * f)
     chunks = []
     for k in range(K):
-        rmat = _regroup_mat(th2, w_dim, ws_dim, k, K, dtype)
+        rmat_t = _regroup_mat_t(th2, w_dim, ws_dim, k, K, dtype)
         chunks.append(
             jax.lax.dot(
-                rmat.T, d2d, preferred_element_type=jnp.float32
+                rmat_t, d2d, preferred_element_type=jnp.float32
             )
         )
     out = jnp.concatenate(chunks, axis=-1)  # (th2*Ws, K*2F)
@@ -206,8 +218,10 @@ def _bwd_kernel(
     th2, w_dim, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
     ws_dim = ds_ref.shape[3]
     if not aligned:
-        # inverse permutation = transpose of the forward's (build directly)
-        permT = _perm_mat(f, g_ref.dtype).T
+        # The chunk swap (0,2,1,3) is an involution, so the inverse
+        # permutation matrix IS the forward one (P.T == P) — no in-kernel
+        # transpose op needed.
+        permT = _perm_mat(f, g_ref.dtype)
     dys = []
     for par in range(2):
         g_par = g_ref[0, :, par]                            # (th2, W, 4F)
