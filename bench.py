@@ -223,6 +223,44 @@ def measure_infer(batch_size: int = 32, hw: int = HW) -> dict:
     return {"images_per_sec": ips, "ms_per_step": dt / STEPS * 1e3}
 
 
+def measure_infer_quant(batch_size: int = 32, hw: int = HW) -> dict:
+    """Int8-quantized chained serving graph (experimental; serving_quant)."""
+    import jax
+    import jax.numpy as jnp
+
+    from unet_image_segmentation_tpu.config import ModelConfig
+    from unet_image_segmentation_tpu.models.unet import build_unet, init_unet
+    from unet_image_segmentation_tpu.serving_quant import (
+        build_serving_forward_quant,
+        calibrate_chained,
+    )
+
+    cfg = ModelConfig(image_height=hw, image_width=hw)
+    model = build_unet(cfg)
+    variables = init_unet(model, jax.random.PRNGKey(0), cfg.input_shape)
+    x = jax.device_put(
+        np.random.RandomState(0).rand(batch_size, hw, hw, 3).astype(np.float32)
+    )
+    scales = calibrate_chained(variables, x, compute_dtype=jnp.bfloat16)
+    forward = build_serving_forward_quant(
+        variables, scales, compute_dtype=jnp.bfloat16
+    )
+    _log(f"compiling int8 serving graph ({hw}px, batch={batch_size}) ...")
+    for _ in range(WARMUP):
+        out = forward(x)
+    _sync_scalar(out[0, 0, 0, 0])
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        out = forward(x)
+    _sync_scalar(out[0, 0, 0, 0])
+    dt = time.perf_counter() - t0
+    ips = STEPS * batch_size / dt
+    _log(
+        f"infer {hw}px int8: {ips:.1f} images/sec ({dt / STEPS * 1e3:.1f} ms/step)"
+    )
+    return {"images_per_sec": ips, "ms_per_step": dt / STEPS * 1e3}
+
+
 def measure_streaming(batch_size: int = 4, frame_hw=(1080, 1920), model_hw=1024) -> dict:
     import jax
 
@@ -443,6 +481,13 @@ def main() -> None:
             )
         except Exception as e:
             _log(f"512px measurement failed: {e}")
+        try:
+            q = measure_infer_quant(batch_size=batch, hw=HW)
+            extra["infer256_int8_images_per_sec_per_chip"] = round(
+                q["images_per_sec"], 1
+            )
+        except Exception as e:
+            _log(f"int8 serving measurement failed: {e}")
         try:
             s = measure_streaming()
             extra["streaming1080p_fps_per_chip"] = round(

@@ -1,0 +1,173 @@
+"""Int8-quantized serving graph: kernel exactness + trained mask parity.
+
+The quantization contract (serving_quant.py): power-of-two scales fold
+exactly into the float kernels' weights/affines, so with float32 compute
+the quantized pair kernel's int8 output must EQUAL quantizing the float
+kernel's output on pre-quantized inputs — the only error source is the
+activation rounding itself.  The end-to-end gate compares masks from a
+trained model (the reference's acceptance currency, cf. reference
+``scripts/benchmark.py:277-279``).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unet_image_segmentation_tpu.ops.pallas.fused_sepconv import (
+    fused_sepconv_pair,
+)
+from unet_image_segmentation_tpu.serving import build_serving_forward_chained
+from unet_image_segmentation_tpu.serving_quant import (
+    build_serving_forward_quant,
+    calibrate_chained,
+    dequantize,
+    pow2_scale,
+    quantize,
+)
+
+
+def _rand_block(rng, c, f, bn=True):
+    blk = {
+        "depthwise_kernel": jnp.asarray(
+            rng.randn(3, 3, c, 1).astype(np.float32) * 0.3
+        ),
+        "pointwise_kernel": jnp.asarray(
+            rng.randn(1, 1, c, f).astype(np.float32) * 0.3
+        ),
+    }
+    if bn:
+        blk.update(
+            scale=jnp.asarray(rng.rand(f).astype(np.float32) + 0.5),
+            offset=jnp.asarray(rng.randn(f).astype(np.float32) * 0.1),
+            mean=jnp.asarray(rng.randn(f).astype(np.float32) * 0.1),
+            var=jnp.asarray(rng.rand(f).astype(np.float32) + 0.5),
+        )
+    else:
+        blk["bias"] = jnp.asarray(rng.randn(f).astype(np.float32) * 0.1)
+    return blk
+
+
+@pytest.mark.parametrize("bn", [True, False])
+def test_pair_quant_exact_vs_float(rng_np, bn):
+    """int8 pair == quantize(float pair) on pre-quantized input (f32)."""
+    c = f1 = f2 = 64
+    h = w = 16
+    b1 = _rand_block(rng_np, c, f1, bn)
+    b2 = _rand_block(rng_np, f1, f2, bn)
+    s_in = 2.0 ** -7
+    q = rng_np.randint(0, 128, size=(2, h, w, c)).astype(np.int8)
+    xq = jnp.asarray(q)
+    xf = dequantize(xq, s_in, jnp.float32)
+
+    yf = fused_sepconv_pair(xf, b1, b2, out_packed=True, pool=True)
+    assert yf is not None, "float pair fell back — test dims need fixing"
+    zf, p, poolf = yf
+    s_out = pow2_scale(float(jnp.max(zf)))
+
+    yq = fused_sepconv_pair(
+        xq, b1, b2, out_packed=True, pool=True,
+        in_scale=s_in, out_scale=s_out, compute_dtype=jnp.float32,
+    )
+    assert yq is not None
+    zq, pq, poolq = yq
+    assert pq == p and zq.dtype == jnp.int8 and poolq.dtype == jnp.int8
+
+    np.testing.assert_array_equal(np.asarray(zq), np.asarray(quantize(zf, s_out)))
+    # pool commutes with (monotone) quantization
+    np.testing.assert_array_equal(
+        np.asarray(poolq), np.asarray(quantize(poolf, s_out))
+    )
+
+
+def test_two_stream_quant_exact(rng_np):
+    """Decoder-style two-stream call: per-stream scales fold per-channel."""
+    f = 64          # per-stream channels; concat c = 128
+    h, w = 16, 16
+    b1 = _rand_block(rng_np, 2 * f, f)
+    b2 = _rand_block(rng_np, f, f)
+    p = 2
+    s_up, s_sk = 2.0 ** -6, 2.0 ** -7
+    q_up = rng_np.randint(-127, 128, size=(2, h, w // p, p * f)).astype(np.int8)
+    q_sk = rng_np.randint(0, 128, size=(2, h, w // p, p * f)).astype(np.int8)
+    up_q, sk_q = jnp.asarray(q_up), jnp.asarray(q_sk)
+    up_f = dequantize(up_q, s_up, jnp.float32)
+    sk_f = dequantize(sk_q, s_sk, jnp.float32)
+
+    zf = fused_sepconv_pair(up_f, b1, b2, in_packed=p, x2=sk_f)
+    assert zf is not None, "float two-stream pair fell back"
+    s_out = pow2_scale(float(jnp.max(zf)))
+
+    zq = fused_sepconv_pair(
+        up_q, b1, b2, in_packed=p, x2=sk_q,
+        in_scale=(s_up, s_sk), out_scale=s_out, compute_dtype=jnp.float32,
+    )
+    assert zq is not None and zq.dtype == jnp.int8
+    np.testing.assert_array_equal(
+        np.asarray(zq),
+        np.asarray(quantize(zf.reshape(zq.shape), s_out)),
+    )
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    """Briefly-trained small model on synthetic document scenes."""
+    from unet_image_segmentation_tpu.config import Config
+    from unet_image_segmentation_tpu.data.loader import DirectoryDataset
+    from unet_image_segmentation_tpu.data.synthetic import write_synthetic_dataset
+    from unet_image_segmentation_tpu.train.loop import fit
+
+    hw = 32
+    tmp = tmp_path_factory.mktemp("quant")
+    root = str(tmp / "ds")
+    write_synthetic_dataset(root, n_train=64, n_val=8, image_size=(hw, hw))
+    cfg = Config().override(
+        model__image_height=hw, model__image_width=hw,
+        model__filters=(16, 32), model__use_batch_norm=False,
+        model__dropout_rate=0.0,
+        data__root=root, data__num_workers=2, data__horizontal_flip=False,
+        train__epochs=16, train__batch_size=8,
+        train__model_out=str(tmp / "model"),
+        train__log_dir=str(tmp / "logs"),
+        train__early_stop_patience=1000, train__reduce_lr_patience=1000,
+    )
+    result = fit(cfg, verbose=False)
+    variables = {"params": result.state.params}
+    if result.state.batch_stats:
+        variables["batch_stats"] = result.state.batch_stats
+
+    ds = DirectoryDataset(
+        frames_dir=os.path.join(root, "val_frames", "image"),
+        masks_dir=os.path.join(root, "val_masks", "image"),
+        image_size=(hw, hw), shuffle=False,
+    )
+    imgs, masks = zip(*[ds.load_sample(i) for i in range(len(ds))])
+    return variables, np.stack(imgs), np.stack(masks)
+
+
+def _iou(y_true, y_prob, thr=0.5):
+    p = (y_prob > thr).astype(np.float32)
+    t = (y_true > 0.5).astype(np.float32)
+    inter = (p * t).sum()
+    return float((inter + 1e-7) / (p.sum() + t.sum() - inter + 1e-7))
+
+
+def test_quant_graph_trained_mask_parity(trained):
+    """The acceptance gate: int8 graph's masks match the float graph's."""
+    variables, xva, yva = trained
+    kw = dict(num_classes=1, depth=2, compute_dtype=jnp.float32)
+    xj = jnp.asarray(xva)
+    forward_f = build_serving_forward_chained(variables, **kw)
+    scales = calibrate_chained(variables, xj, **kw)
+    forward_q = build_serving_forward_quant(variables, scales, **kw)
+
+    pf = np.asarray(forward_f(xj))
+    pq = np.asarray(forward_q(xj))
+
+    agree = float(((pf > 0.5) == (pq > 0.5)).mean())
+    iou_f, iou_q = _iou(yva, pf), _iou(yva, pq)
+    print(f"mask agreement {agree:.4f}; IoU float {iou_f:.4f} int8 {iou_q:.4f}")
+    assert agree >= 0.995, agree
+    assert abs(iou_f - iou_q) <= 0.01, (iou_f, iou_q)

@@ -38,6 +38,8 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--pallas", action="store_true",
                    help="Fused Pallas serving kernels (TPU).")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--quant", type=str, default=None, choices=["int8"],
+                   help="int8-quantized serving graph (needs --pallas).")
     return p.parse_args(argv)
 
 
@@ -69,6 +71,7 @@ def main(argv=None) -> int:
         image_size=(args.image_size, args.image_size),
         compute_dtype="bfloat16" if args.bf16 else "float32",
         use_pallas=args.pallas,
+        quantize=args.quant,
     )
     try:
         result = evaluate(

@@ -45,6 +45,9 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="Fused Pallas serving kernels (TPU; +12%% at 256px).")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 activations for the forward pass.")
+    p.add_argument("--quant", type=str, default=None, choices=["int8"],
+                   help="int8-quantized serving graph (needs --pallas; "
+                        "calibrated on the first batch).")
     return p.parse_args(argv)
 
 
@@ -68,6 +71,7 @@ def main(argv=None) -> int:
         image_size=(args.image_size, args.image_size),
         compute_dtype="bfloat16" if args.bf16 else "float32",
         use_pallas=args.pallas,
+        quantize=args.quant,
     )
     result = run_inference(
         predictor,

@@ -54,6 +54,7 @@ class Predictor:
         model_kwargs: Optional[Dict[str, Any]] = None,
         compute_dtype: str = "float32",
         use_pallas: bool = False,
+        quantize: Optional[str] = None,
     ):
         variables, inferred = load_inference_variables(model_path)
         kwargs = dict(inferred or {})
@@ -114,6 +115,24 @@ class Predictor:
                 return self.model.apply(self.variables, images, train=False)
 
             self._predict = jax.jit(_forward)
+        # int8-quantized chained serving graph (experimental): calibrated
+        # lazily on the first predict() batch, then swapped in.  See
+        # serving_quant.py for the quantization contract.
+        if quantize not in (None, "int8"):
+            raise ValueError(f"unsupported quantize mode {quantize!r}")
+        self._quantize = quantize
+        if quantize and not (
+            use_pallas and self.serving_kwargs is not None
+        ):
+            import warnings
+
+            warnings.warn(
+                "quantize='int8' requires the fused serving graph "
+                "(use_pallas=True with a separable-conv model); ignoring",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            self._quantize = None
         # the forward callable (jit-compatible) for composition into larger
         # programs (e.g. streaming pipelines)
         self.forward_fn = self._predict
@@ -133,7 +152,24 @@ class Predictor:
         if bucket != b:
             pad = np.zeros((bucket - b, *images.shape[1:]), dtype=images.dtype)
             images = np.concatenate([np.asarray(images), pad], axis=0)
-        out = np.asarray(self._predict(jnp.asarray(images)))
+        xb = jnp.asarray(images)
+        if self._quantize == "int8":
+            # first real batch doubles as the calibration sample
+            from unet_image_segmentation_tpu.serving_quant import (
+                build_serving_forward_quant,
+                calibrate_chained,
+            )
+
+            scales = calibrate_chained(
+                self.variables, xb, **self.serving_kwargs
+            )
+            self._predict = build_serving_forward_quant(
+                self.variables, scales, **self.serving_kwargs
+            )
+            self.forward_fn = self._predict
+            self.quant_scales = scales
+            self._quantize = None  # built; later batches reuse the graph
+        out = np.asarray(self._predict(xb))
         return out[:b]
 
 

@@ -916,6 +916,7 @@ def _sepconv_pair_kernel_db(
     f1: int,
     pool_f: int = 0,   # F2 when a fused 2x2 pool output is requested
     two_stream: bool = False,  # x + x2 interleaved per f-chunk in VMEM
+    quant_out: bool = False,   # round+clip y2 to int8 (scales pre-folded)
 ):
     """Two chained sepconv+BN+ReLU blocks per tile; the intermediate
     activation never leaves VMEM (one fewer full HBM round trip per
@@ -947,8 +948,11 @@ def _sepconv_pair_kernel_db(
     pc = 2 * pcs if two_stream else pcs
     pf1 = pww1_ref.shape[1]
     pf2 = pww2_ref.shape[1]
+    # compute dtype: the weights' dtype (== buffer dtype on the float
+    # path; bf16 when the buffers are int8 quantized I/O)
+    cdtype = dwk1_ref.dtype
     if pool_f:
-        sel_e, sel_o = _pool_sel_mats(pf2, pool_f, xbuf.dtype)
+        sel_e, sel_o = _pool_sel_mats(pf2, pool_f, cdtype)
     if two_stream:
         # cat chunk k (2f lanes) = [x chunk k (f) | x2 chunk k (f)]:
         # exact 0/1 expansion matmuls build the concat slab in VMEM —
@@ -957,10 +961,10 @@ def _sepconv_pair_kernel_db(
         fh = c // 2              # per-stream channels per pixel
         r1 = jax.lax.broadcasted_iota(jnp.int32, (pcs, pc), 0)
         c1 = jax.lax.broadcasted_iota(jnp.int32, (pcs, pc), 1)
-        e_up = (c1 == (r1 // fh) * 2 * fh + (r1 % fh)).astype(xbuf.dtype)
+        e_up = (c1 == (r1 // fh) * 2 * fh + (r1 % fh)).astype(cdtype)
         e_sk = (
             c1 == (r1 // fh) * 2 * fh + fh + (r1 % fh)
-        ).astype(xbuf.dtype)
+        ).astype(cdtype)
 
     streams = [(x_hbm, xbuf, 0)]
     if two_stream:
@@ -1057,14 +1061,14 @@ def _sepconv_pair_kernel_db(
             n_rows = (tile_h + 4) * wp
             xs = (
                 jax.lax.dot(
-                    xbuf[slot].reshape(n_rows, pcs), e_up,
+                    xbuf[slot].reshape(n_rows, pcs).astype(cdtype), e_up,
                     preferred_element_type=jnp.float32,
                 )
                 + jax.lax.dot(
-                    x2buf[slot].reshape(n_rows, pcs), e_sk,
+                    x2buf[slot].reshape(n_rows, pcs).astype(cdtype), e_sk,
                     preferred_element_type=jnp.float32,
                 )
-            ).astype(xbuf.dtype).reshape(tile_h + 4, wp, pc)
+            ).astype(cdtype).reshape(tile_h + 4, wp, pc)
         else:
             xs = xbuf[slot]
         y1 = _tile_sepconv(xs, dwk1_ref, pww1_ref, tile_h + 2, wp, pc, c)
@@ -1088,19 +1092,32 @@ def _sepconv_pair_kernel_db(
             kill, jnp.logical_and(edge_ref[0, 1] == 1, gr >= h_total - 2)
         )
         y1 = jnp.where(kill, 0.0, y1)
-        y1 = y1.astype(xbuf.dtype)
+        y1 = y1.astype(cdtype)
 
         # block2 over the TH centre rows (y1's own rows provide the halo)
         y2 = _tile_sepconv(y1, dwk2_ref, pww2_ref, tile_h, wp, pf1, f1)
         y2 = y2 * aff2_ref[0][None, :] + aff2_ref[1][None, :]
         y2 = jnp.maximum(y2, 0.0)
+        if quant_out:
+            # 1/s_out is pre-folded into aff2, so y2 is already in
+            # quantized units: round-to-nearest, clip to int8's positive
+            # range (post-ReLU values are >= 0).  The pool below runs on
+            # the rounded values in the compute dtype — integers <= 127
+            # are exact in bf16, and round/clip are monotone, so
+            # pool(quant(y)) == quant(pool(y)).
+            y2 = jnp.round(jnp.minimum(y2, 127.0))
         y2c = y2.reshape(tile_h, wp, pf2).astype(ybuf.dtype)
         ybuf[slot] = y2c
         out_copy(j, slot).start()
         if pool_f:
-            p_ref[0, pl.ds(j * (tile_h // 2), tile_h // 2)] = _pool_tile(
-                y2c, tile_h, wp, pf2, sel_e, sel_o
+            pool_in = (
+                y2.reshape(tile_h, wp, pf2).astype(cdtype)
+                if quant_out
+                else y2c
             )
+            p_ref[0, pl.ds(j * (tile_h // 2), tile_h // 2)] = _pool_tile(
+                pool_in, tile_h, wp, pf2, sel_e, sel_o
+            ).astype(p_ref.dtype)
         return ()
 
     jax.lax.fori_loop(0, n_tiles, body, (), unroll=False)
@@ -1147,6 +1164,9 @@ def fused_sepconv_pair(
     out_packed: bool = False,
     pool: bool = False,
     x2: Optional[jax.Array] = None,
+    in_scale: Optional[object] = None,
+    out_scale: Optional[float] = None,
+    compute_dtype: Optional[object] = None,
 ):
     """Inference ConvBlock pair in one kernel (sepconv+BN+ReLU twice).
 
@@ -1172,6 +1192,25 @@ def fused_sepconv_pair(
     A 3-channel (or otherwise unpackable) input is zero-padded up to a
     packable channel count together with block1's weights — exact, and
     keeps the reference's input stage on the fused path.
+
+    Int8 quantized I/O (the experimental quantized serving graph — see
+    ``serving_quant``):
+
+    * ``in_scale``: x (and x2) arrive as int8 with real value
+      ``q * in_scale``; a POWER-OF-TWO scale folds exactly into block1's
+      depthwise taps (a float exponent shift), so in-VMEM compute is
+      bit-identical to the float kernel fed the dequantized input.  For
+      two-stream calls pass ``(scale_x, scale_x2)`` — the fold is
+      per-channel (depthwise taps are per-channel).
+    * ``out_scale``: y2 (and the pooled output) are emitted as int8 in
+      units of ``out_scale``; ``1/out_scale`` folds into the stage's BN
+      affine, the kernel adds only a round+clip before the write.  The
+      2x2 max pool commutes with the (monotone) quantization, so the
+      pooled output equals quantizing the float pool.
+
+    Compute stays bf16/f32 in VMEM either way — int8 halves the HBM DMA
+    bytes, which is what the serving graph is bound by, without touching
+    the MXU path.
     """
     if in_packed and in_packed > 1:
         b, h, wp0, pc0 = x.shape
@@ -1183,6 +1222,16 @@ def fused_sepconv_pair(
     else:
         assert x2 is None, "x2 requires packed inputs (in_packed >= 2)"
         b, h, w, c = x.shape
+    quant_in = x.dtype == jnp.int8
+    if quant_in:
+        assert in_scale is not None, "int8 input requires in_scale"
+        assert x2 is None or x2.dtype == jnp.int8
+    cdtype = (
+        jnp.dtype(compute_dtype)
+        if compute_dtype is not None
+        else (jnp.bfloat16 if quant_in else x.dtype)
+    )
+    out_dtype = jnp.int8 if out_scale is not None else cdtype
     f1 = block1["pointwise_kernel"].shape[-1]
     f2 = block2["pointwise_kernel"].shape[-1]
 
@@ -1225,8 +1274,8 @@ def fused_sepconv_pair(
         return None
 
     def prep(block, cin, fout):
-        dwk = block["depthwise_kernel"].reshape(3, 3, cin).astype(x.dtype)
-        pww = block["pointwise_kernel"].reshape(cin, fout).astype(x.dtype)
+        dwk = block["depthwise_kernel"].reshape(3, 3, cin).astype(cdtype)
+        pww = block["pointwise_kernel"].reshape(cin, fout).astype(cdtype)
         scale, shift = _fold_affine(
             block.get("bias"), block.get("scale"), block.get("offset"),
             block.get("mean"), block.get("var"), fout, eps,
@@ -1241,20 +1290,41 @@ def fused_sepconv_pair(
     dwk1, pww1, aff1 = prep(block1, c, f1)
     dwk2, pww2, aff2 = prep(block2, f1, f2)
 
+    if quant_in:
+        # dequantization folds into block1's (per-channel) depthwise taps:
+        # power-of-two scales make the fold an exact exponent shift.
+        if x2 is not None:
+            s_x, s_x2 = in_scale
+            fh = c // 2
+            vec_c = jnp.concatenate(
+                [
+                    jnp.full((fh,), s_x, cdtype),
+                    jnp.full((fh,), s_x2, cdtype),
+                ]
+            )
+            dwk1 = dwk1 * jnp.tile(vec_c, p)[None, None, :]
+        else:
+            dwk1 = dwk1 * jnp.asarray(in_scale, cdtype)
+    if out_scale is not None:
+        # 1/s_out folds into block2's affine (scale AND shift rows)
+        aff2 = aff2 * jnp.float32(1.0 / out_scale)
+
     wp, pc, pf1, pf2 = w // p, p * c, p * f1, p * f2
     xp = x if (in_packed and in_packed > 1) else x.reshape(b, h, wp, pc)
+    in_b = 1 if quant_in else 2          # slab bytes/elem
+    out_b = 1 if out_scale is not None else 2
     # working set: 2 slabs (TH+4) + y1 (TH+2) fp32+bf16 + y2 buffers
     budget, slack = vmem_budget(9), 1.4
-    resident = (h // 2) * wp * max(pf2 // 2, LANE) * 2 if pool else 0
+    resident = (h // 2) * wp * max(pf2 // 2, LANE) * out_b if pool else 0
     tile_h = 1
     for cand in (32, 16, 8, 4, 2):
         if h % cand:
             continue
         working = (
             resident
-            + 2 * (cand + 4) * wp * pc * 2
+            + 2 * (cand + 4) * wp * pc * in_b
             + (cand + 2) * wp * pf1 * (4 + 2)
-            + cand * wp * pf2 * (4 + 2 * 2)
+            + cand * wp * pf2 * (4 + 2 * out_b)
         )
         if working * slack <= budget:
             tile_h = cand
@@ -1277,6 +1347,7 @@ def fused_sepconv_pair(
         f1=f1,
         pool_f=f2 if pool else 0,
         two_stream=x2 is not None,
+        quant_out=out_scale is not None,
     )
     if edge_flags is None:
         edges = jnp.zeros((1, 2), jnp.int32)
@@ -1285,7 +1356,7 @@ def fused_sepconv_pair(
             [jnp.asarray(e, jnp.int32) for e in edge_flags]
         ).reshape(1, 2)
     out_specs = pl.BlockSpec(memory_space=pl.ANY)
-    out_shape = jax.ShapeDtypeStruct((b, h, wp, pf2), x.dtype)
+    out_shape = jax.ShapeDtypeStruct((b, h, wp, pf2), out_dtype)
     if pool:
         out_specs = (
             out_specs,
@@ -1297,7 +1368,7 @@ def fused_sepconv_pair(
         )
         out_shape = (
             out_shape,
-            jax.ShapeDtypeStruct((b, h // 2, wp, pf2 // 2), x.dtype),
+            jax.ShapeDtypeStruct((b, h // 2, wp, pf2 // 2), out_dtype),
         )
     in_specs = (
         [
@@ -1312,10 +1383,10 @@ def fused_sepconv_pair(
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         operands.append(x2)
         scratch.append(
-            pltpu.VMEM((2, tile_h + 4, wp, x2.shape[-1]), x.dtype)
+            pltpu.VMEM((2, tile_h + 4, wp, x2.shape[-1]), x2.dtype)
         )
     scratch += [
-        pltpu.VMEM((2, tile_h, wp, pf2), x.dtype),
+        pltpu.VMEM((2, tile_h, wp, pf2), out_dtype),
         pltpu.SemaphoreType.DMA((2, 6 if x2 is not None else 3)),
         pltpu.SemaphoreType.DMA((2,)),
     ]
@@ -1328,7 +1399,7 @@ def fused_sepconv_pair(
         scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=b * h * w * (9 * c + 2 * c * f1 + 9 * f1 + 2 * f1 * f2),
-            bytes_accessed=b * h * w * (c + f2) * x.dtype.itemsize,
+            bytes_accessed=b * h * w * (c * in_b + f2 * out_b),
             transcendentals=0,
         ),
         compiler_params=vmem_params(),
