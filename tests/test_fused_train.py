@@ -192,3 +192,32 @@ def test_chain_dropout_seed_changes_mask():
     z1, _ = fused_chain_train(x, blocks, drop_rate=0.4, drop_seed=jnp.int32(1))
     z2, _ = fused_chain_train(x, blocks, drop_rate=0.4, drop_seed=jnp.int32(2))
     assert float(jnp.max(jnp.abs(z1 - z2))) > 1e-3
+
+
+def test_chain_bwd_phase_bf16(monkeypatch):
+    """UNET_TPU_BWD_PHASE=bf16 (shift dm/z slabs in bf16) perturbs the
+    gradients only within bf16 rounding of the default f32 phase."""
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.rand(2, HW, HW, 64), jnp.float32)
+    blocks = [_params(rng, 64, 64), _params(rng, 64, 64)]
+
+    def loss(x, blocks):
+        z, stats = fused_chain_train(x, blocks)
+        return jnp.sum(z * z) + 0.0 * sum(
+            jnp.sum(m) + jnp.sum(v) for (m, v) in stats
+        )
+
+    monkeypatch.setenv("UNET_TPU_BWD_PHASE", "f32")
+    g32 = jax.grad(loss, argnums=(0, 1))(x, blocks)
+    monkeypatch.setenv("UNET_TPU_BWD_PHASE", "bf16")
+    g16 = jax.grad(loss, argnums=(0, 1))(x, blocks)
+    flat32, _ = jax.tree_util.tree_flatten(g32)
+    flat16, _ = jax.tree_util.tree_flatten(g16)
+    changed = False
+    for a, b in zip(flat32, flat16):
+        scale = max(1.0, float(jnp.max(jnp.abs(a))))
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-2 * scale, rtol=1e-2
+        )
+        changed = changed or bool(jnp.any(a != b))
+    assert changed, "bf16 phase did not engage (grads bit-identical)"

@@ -1138,8 +1138,17 @@ def _bwd_train_kernel(
     pack_p: int = 1,
     drop_thresh: int = 0,
     inv_keep: float = 1.0,
+    phase_bf16: bool = False,
 ):
     """Fused chain backward for one block (see module docstring).
+
+    ``phase_bf16`` (env ``UNET_TPU_BWD_PHASE=bf16``): round the dm panel
+    and the recomputed z slab to bf16 BEFORE the per-window pixel shifts
+    — the lane rotates are the expensive VPU step on packed stages and
+    their cost scales with operand bytes.  Products and accumulations
+    stay f32 (the taps are f32, promotion upcasts), so the only numerics
+    change is one bf16 rounding of dm/z — the same rounding XLA's bf16
+    conv backward applies to its operands.  Off by default.
 
     Builds the gradient w.r.t. the block's raw output per tile:
       combine:      gy = A*(g [* mask(a_out*y+b_out)]) + B + (y-mean_out)*C
@@ -1298,6 +1307,8 @@ def _bwd_train_kernel(
             pwt_ref[...],
             preferred_element_type=jnp.float32,
         ).reshape(tile_h + 2, wp, pc)
+        if phase_bf16:
+            dm = dm.astype(jnp.bfloat16)
 
         # The W-dim shift is row-independent, so the +-1 shifted variants
         # of each slab are computed ONCE over the window and row-windowed
@@ -1386,10 +1397,16 @@ def _bwd_train_kernel(
             z_slab = xbuf[slot, pl.ds(base, tile_h + 2)].astype(jnp.float32)
             if drop_thresh:
                 z_slab = jnp.where(keep_slab, z_slab * inv_keep, 0.0)
+        if phase_bf16:
+            z_slab = z_slab.astype(jnp.bfloat16)
         z_next = shift_pixels(z_slab, +1)    # pixel w+1 (for dj == 2)
         z_prev = shift_pixels(z_slab, -1)    # pixel w-1 (for dj == 0)
 
+        # products stay f32: one upcast of the centre dm rows (cheap)
+        # keeps the bf16 phase's rounding confined to dm/z themselves
         dm_center = dm[1 : 1 + tile_h]
+        if phase_bf16:
+            dm_center = dm_center.astype(jnp.float32)
         m = jnp.zeros((tile_h, wp, pc), jnp.float32)
         ddw_rows = []
         for di in range(3):
@@ -1580,6 +1597,7 @@ def _bwd_train_packed(
         pack_p=p,
         drop_thresh=hd.keep_threshold(drop_rate) if drop else 0,
         inv_keep=1.0 / (1.0 - drop_rate) if drop else 1.0,
+        phase_bf16=os.environ.get("UNET_TPU_BWD_PHASE", "f32") == "bf16",
     )
     ybuf_shape = (2, S + 2, wp, pf) if combine else (2, 1, 1, pf)
     dx_p, ddw_p, dpw_p, st_p = pl.pallas_call(
