@@ -171,3 +171,25 @@ def test_quant_graph_trained_mask_parity(trained):
     print(f"mask agreement {agree:.4f}; IoU float {iou_f:.4f} int8 {iou_q:.4f}")
     assert agree >= 0.995, agree
     assert abs(iou_f - iou_q) <= 0.01, (iou_f, iou_q)
+
+
+def test_quant_graph_multiclass(rng_np):
+    """3-class (softmax head) int8 graph tracks the float graph closely."""
+    from unet_image_segmentation_tpu.config import ModelConfig
+    from unet_image_segmentation_tpu.models.unet import build_unet, init_unet
+
+    hw = 32
+    cfg = ModelConfig(
+        image_height=hw, image_width=hw, filters=(16, 32),
+        num_classes=3, dropout_rate=0.0,
+    )
+    model = build_unet(cfg)
+    variables = init_unet(model, jax.random.PRNGKey(3), cfg.input_shape)
+    kw = dict(num_classes=3, depth=2, compute_dtype=jnp.float32)
+    x = jnp.asarray(rng_np.rand(2, hw, hw, 3).astype(np.float32))
+    pf = np.asarray(build_serving_forward_chained(variables, **kw)(x))
+    scales = calibrate_chained(variables, x, **kw)
+    pq = np.asarray(build_serving_forward_quant(variables, scales, **kw)(x))
+    assert pq.shape == pf.shape == (2, hw, hw, 3)
+    np.testing.assert_allclose(pq.sum(-1), 1.0, atol=1e-3)  # softmax
+    assert np.abs(pq - pf).max() < 5e-3, np.abs(pq - pf).max()

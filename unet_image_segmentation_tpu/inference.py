@@ -154,21 +154,38 @@ class Predictor:
             images = np.concatenate([np.asarray(images), pad], axis=0)
         xb = jnp.asarray(images)
         if self._quantize == "int8":
-            # first real batch doubles as the calibration sample
-            from unet_image_segmentation_tpu.serving_quant import (
-                build_serving_forward_quant,
-                calibrate_chained,
-            )
+            # first real batch doubles as the calibration sample; any
+            # failure (e.g. an int8 lowering gap on the target backend)
+            # falls back LOUDLY to the float serving graph
+            try:
+                from unet_image_segmentation_tpu.serving_quant import (
+                    build_serving_forward_quant,
+                    calibrate_chained,
+                )
 
-            scales = calibrate_chained(
-                self.variables, xb, **self.serving_kwargs
-            )
-            self._predict = build_serving_forward_quant(
-                self.variables, scales, **self.serving_kwargs
-            )
-            self.forward_fn = self._predict
-            self.quant_scales = scales
-            self._quantize = None  # built; later batches reuse the graph
+                scales = calibrate_chained(
+                    self.variables, xb, **self.serving_kwargs
+                )
+                quant_fwd = build_serving_forward_quant(
+                    self.variables, scales, **self.serving_kwargs
+                )
+                out = np.asarray(quant_fwd(xb))  # compile + execute now
+                self._predict = quant_fwd
+                self.forward_fn = self._predict
+                self.quant_scales = scales
+                self._quantize = None  # built; later batches reuse it
+                return out[:b]
+            except Exception as e:
+                import warnings
+
+                warnings.warn(
+                    f"int8 serving graph unavailable "
+                    f"({type(e).__name__}: {e}); falling back to the "
+                    f"float serving graph",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                self._quantize = None
         out = np.asarray(self._predict(xb))
         return out[:b]
 
