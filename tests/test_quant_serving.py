@@ -193,3 +193,46 @@ def test_quant_graph_multiclass(rng_np):
     assert pq.shape == pf.shape == (2, hw, hw, 3)
     np.testing.assert_allclose(pq.sum(-1), 1.0, atol=1e-3)  # softmax
     assert np.abs(pq - pf).max() < 5e-3, np.abs(pq - pf).max()
+
+
+def test_streaming_quant_matches_float(trained, tmp_path):
+    """StreamingPredictor picks up a pending int8 quantization lazily and
+    its masks agree with the float streaming pipeline."""
+    from unet_image_segmentation_tpu.inference import Predictor
+    from unet_image_segmentation_tpu.streaming import StreamingPredictor
+    from unet_image_segmentation_tpu.train.checkpoint import (
+        save_inference_variables,
+    )
+
+    variables, xva, _ = trained
+    ckpt = str(tmp_path / "m")
+    save_inference_variables(
+        ckpt,
+        variables["params"],
+        batch_stats=variables.get("batch_stats"),
+        model_kwargs=dict(
+            num_classes=1, filters=(16, 32), dropout_rate=0.0,
+            use_batch_norm=False, conv_type="separable",
+        ),
+    )
+    frames = (xva[:2, :, :, ::-1] * 255).astype(np.uint8)  # BGR uint8
+    frames = np.concatenate([frames, frames], axis=1)      # 64x32 native
+
+    def masks(quant):
+        p = Predictor(
+            ckpt, image_size=(32, 32), compute_dtype="float32",
+            use_pallas=True, quantize="int8" if quant else None,
+        )
+        s = StreamingPredictor(
+            p, frame_hw=frames.shape[1:3], batch_size=2, threshold=0.5,
+        )
+        if quant:
+            assert s._quant_pending
+        out = s(frames)
+        if quant:
+            assert not s._quant_pending and hasattr(s, "quant_scales")
+        return out
+
+    mf, mq = masks(False), masks(True)
+    agree = float((mf == mq).mean())
+    assert agree >= 0.995, agree

@@ -61,7 +61,7 @@ class StreamingPredictor:
 
         model = predictor.model
         model_hw = predictor.image_size
-        fh, fw = self.frame_hw
+        self._model_hw = model_hw
         forward = getattr(predictor, "forward_fn", None) or (
             lambda imgs: model.apply(predictor.variables, imgs, train=False)
         )
@@ -77,13 +77,38 @@ class StreamingPredictor:
                 predictor.variables, mesh, **predictor.serving_kwargs
             )
 
+        if mesh is not None:
+            self._in_sharding = NamedSharding(
+                mesh, P("data", "spatial", None, None)
+            )
+        else:
+            self._in_sharding = None
+        self._fn = self._make_fn(forward)
+        # int8 streaming: when the Predictor was built with
+        # quantize='int8' (and hasn't consumed it yet), the first stream
+        # batch calibrates the quantized graph on the RESIZED model-input
+        # tensor and the pipeline is rebuilt around it.  Mesh serving
+        # keeps the float shard_map graph (int8 halo exchange untested).
+        self._quant_pending = (
+            getattr(predictor, "_quantize", None) == "int8"
+            and getattr(predictor, "serving_kwargs", None) is not None
+            and mesh is None
+        )
+
+    def _make_fn(self, forward):
+        model_hw = self._model_hw
+        fh, fw = self.frame_hw
+        threshold = self.threshold
+        channel_order = self.channel_order
+        num_classes = self.predictor.model.num_classes
+
         def pipeline(frames_u8: jax.Array) -> jax.Array:
             x = frames_u8.astype(jnp.float32) / 255.0
             if channel_order == "rgb":
                 x = x[..., ::-1]  # stream delivers BGR; flip for RGB models
             x = resize_bilinear(x, model_hw)
             probs = forward(x)
-            if model.num_classes > 1:
+            if num_classes > 1:
                 probs_up = resize_bilinear(probs, (fh, fw))
                 return jnp.argmax(probs_up, axis=-1).astype(jnp.uint8)
             probs_up = resize_bilinear(probs, (fh, fw))[..., 0]  # (B, H0, W0)
@@ -91,17 +116,57 @@ class StreamingPredictor:
                 return (probs_up > threshold).astype(jnp.uint8)
             return probs_up
 
-        if mesh is not None:
-            in_sharding = NamedSharding(mesh, P("data", "spatial", None, None))
-            self._in_sharding = in_sharding
-            self._fn = jax.jit(
+        if self.mesh is not None:
+            return jax.jit(
                 pipeline,
-                in_shardings=(in_sharding,),
-                out_shardings=NamedSharding(mesh, P("data", "spatial")),
+                in_shardings=(self._in_sharding,),
+                out_shardings=NamedSharding(self.mesh, P("data", "spatial")),
             )
-        else:
-            self._in_sharding = None
-            self._fn = jax.jit(pipeline)
+        return jax.jit(pipeline)
+
+    def _maybe_build_quant(self, frames_dev: jax.Array) -> None:
+        if not self._quant_pending:
+            return
+        self._quant_pending = False
+        try:
+            from unet_image_segmentation_tpu.serving_quant import (
+                build_serving_forward_quant,
+                calibrate_chained,
+            )
+
+            prep = jax.jit(
+                lambda f: resize_bilinear(
+                    (
+                        f.astype(jnp.float32)[..., ::-1]
+                        if self.channel_order == "rgb"
+                        else f.astype(jnp.float32)
+                    )
+                    / 255.0,
+                    self._model_hw,
+                )
+            )
+            sample = prep(frames_dev)
+            scales = calibrate_chained(
+                self.predictor.variables,
+                sample,
+                **self.predictor.serving_kwargs,
+            )
+            forward = build_serving_forward_quant(
+                self.predictor.variables,
+                scales,
+                **self.predictor.serving_kwargs,
+            )
+            self._fn = self._make_fn(forward)
+            self.quant_scales = scales
+        except Exception as e:
+            import warnings
+
+            warnings.warn(
+                f"int8 streaming graph unavailable "
+                f"({type(e).__name__}: {e}); keeping the float pipeline",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
     def __call__(self, frames_u8: np.ndarray) -> np.ndarray:
         """(B, H0, W0, 3) uint8 BGR frames -> masks at native resolution.
@@ -118,6 +183,7 @@ class StreamingPredictor:
         x = jnp.asarray(frames_u8)
         if self._in_sharding is not None:
             x = jax.device_put(x, self._in_sharding)
+        self._maybe_build_quant(x)
         return np.asarray(self._fn(x))
 
     def run_device(self, frames_u8_dev: jax.Array) -> jax.Array:
@@ -125,4 +191,5 @@ class StreamingPredictor:
         masks, no host round trip.  This is the steady-state serving rate
         (a production loop keeps frames device-side / overlaps transfers);
         ``__call__`` adds the host<->device copies."""
+        self._maybe_build_quant(frames_u8_dev)
         return self._fn(frames_u8_dev)
