@@ -261,7 +261,10 @@ def measure_infer_quant(batch_size: int = 32, hw: int = HW) -> dict:
     return {"images_per_sec": ips, "ms_per_step": dt / STEPS * 1e3}
 
 
-def measure_streaming(batch_size: int = 4, frame_hw=(1080, 1920), model_hw=1024) -> dict:
+def measure_streaming(
+    batch_size: int = 4, frame_hw=(1080, 1920), model_hw=1024,
+    quant: bool = False,
+) -> dict:
     import jax
 
     from unet_image_segmentation_tpu.config import ModelConfig
@@ -289,6 +292,7 @@ def measure_streaming(batch_size: int = 4, frame_hw=(1080, 1920), model_hw=1024)
             image_size=(model_hw, model_hw),
             compute_dtype="bfloat16",
             use_pallas=True,
+            quantize="int8" if quant else None,
         )
     stream = StreamingPredictor(predictor, frame_hw=frame_hw, batch_size=batch_size)
     frames = (np.random.RandomState(0).rand(batch_size, *frame_hw, 3) * 255).astype(
@@ -296,6 +300,9 @@ def measure_streaming(batch_size: int = 4, frame_hw=(1080, 1920), model_hw=1024)
     )
     _log(f"compiling streaming pipeline ({frame_hw} -> {model_hw}px) ...")
     stream(frames)  # end-to-end host call: compile + numerics exercised
+    if quant and not hasattr(stream, "quant_scales"):
+        # the quant build fell back to float: don't record it as int8
+        raise RuntimeError("int8 streaming graph fell back to float")
     # Host-inclusive rate (this environment's tunneled device link ships
     # the ~33 MB batch at ~25 MB/s, so here this mostly measures the
     # TUNNEL; recorded anyway for the apples-to-apples ledger).
@@ -498,6 +505,13 @@ def main() -> None:
             )
         except Exception as e:
             _log(f"streaming measurement failed: {e}")
+        try:
+            sq = measure_streaming(quant=True)
+            extra["streaming1080p_int8_fps_per_chip"] = round(
+                sq["fps_device_resident"], 1
+            )
+        except Exception as e:
+            _log(f"int8 streaming measurement failed: {e}")
 
     try:
         baseline = measure_tf_baseline()
