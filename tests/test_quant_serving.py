@@ -236,3 +236,26 @@ def test_streaming_quant_matches_float(trained, tmp_path):
     mf, mq = masks(False), masks(True)
     agree = float((mf == mq).mean())
     assert agree >= 0.995, agree
+
+
+def test_quant_graph_p1_stage_no_pool_retry(rng_np):
+    """128-aligned stages (p=1) can't fuse the pool (needs p>=2); the
+    quant graph must retry the int8 pair WITHOUT the pool and max-pool
+    the int8 tensor directly (monotone => exact), not round-trip through
+    float."""
+    from unet_image_segmentation_tpu.config import ModelConfig
+    from unet_image_segmentation_tpu.models.unet import build_unet, init_unet
+
+    hw = 16
+    cfg = ModelConfig(
+        image_height=hw, image_width=hw, filters=(128, 128),
+        num_classes=1, dropout_rate=0.0,
+    )
+    model = build_unet(cfg)
+    variables = init_unet(model, jax.random.PRNGKey(5), cfg.input_shape)
+    kw = dict(num_classes=1, depth=2, compute_dtype=jnp.float32)
+    x = jnp.asarray(rng_np.rand(1, hw, hw, 3).astype(np.float32))
+    pf = np.asarray(build_serving_forward_chained(variables, **kw)(x))
+    scales = calibrate_chained(variables, x, **kw)
+    pq = np.asarray(build_serving_forward_quant(variables, scales, **kw)(x))
+    assert np.abs(pq - pf).max() < 5e-3, np.abs(pq - pf).max()

@@ -225,8 +225,14 @@ def max_pool_2x2(x: jax.Array) -> jax.Array:
     the 256px train step).
     """
     assert x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0, f"odd spatial dims {x.shape}"
+    init = (
+        -jnp.inf
+        if jnp.issubdtype(x.dtype, jnp.floating)
+        # int8 path of the quantized graph (dtype must match the operand)
+        else jnp.asarray(jnp.iinfo(x.dtype).min, x.dtype)
+    )
     return lax.reduce_window(
-        x, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+        x, init, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
     )
 
 

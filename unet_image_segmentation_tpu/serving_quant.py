@@ -190,14 +190,31 @@ def _quant_chained_forward(
                 skips.append((z_p, p, (h, w, f2), s_out))
                 xq, in_p = pooled, p2
             else:
-                # float fallback for this stage, re-quantized at the edges
-                xf = dequantize(xq, s_cur, compute_dtype)
-                if in_p > 1:
-                    xf = xf.reshape(bsz, h, w, xf.shape[-1] // in_p)
-                z = _pair(xf, b1, b2)
-                skips.append((quantize(z, s_out), 1, (h, w, f2), s_out))
-                xq = quantize(conv_ops.max_pool_2x2(z), s_out)
-                in_p = 1
+                # pool-fused tile didn't fit (high-res stages): retry the
+                # int8 pair WITHOUT the fused pool — quantization is
+                # monotone, so a plain int8 2x2 max pool is exact
+                z_q = fused_sepconv_pair(
+                    xq,
+                    b1,
+                    b2,
+                    in_packed=in_p if in_p > 1 else None,
+                    in_scale=s_cur,
+                    out_scale=s_out,
+                    compute_dtype=compute_dtype,
+                )
+                if z_q is not None:
+                    skips.append((z_q, 1, (h, w, f2), s_out))
+                    xq = conv_ops.max_pool_2x2(z_q)
+                    in_p = 1
+                else:
+                    # float fallback, re-quantized at the edges
+                    xf = dequantize(xq, s_cur, compute_dtype)
+                    if in_p > 1:
+                        xf = xf.reshape(bsz, h, w, xf.shape[-1] // in_p)
+                    z = _pair(xf, b1, b2)
+                    skips.append((quantize(z, s_out), 1, (h, w, f2), s_out))
+                    xq = quantize(conv_ops.max_pool_2x2(z), s_out)
+                    in_p = 1
             s_cur = s_out
             h, w = h // 2, w // 2
 
