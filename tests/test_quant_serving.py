@@ -259,3 +259,48 @@ def test_quant_graph_p1_stage_no_pool_retry(rng_np):
     scales = calibrate_chained(variables, x, **kw)
     pq = np.asarray(build_serving_forward_quant(variables, scales, **kw)(x))
     assert np.abs(pq - pf).max() < 5e-3, np.abs(pq - pf).max()
+
+
+def test_sharded_quant_matches_single_device(rng_np):
+    """Spatially-sharded int8 graph (int8 halos over the mesh) equals the
+    single-device run of the same graph, and tracks the float sharded
+    graph within quantization error."""
+    from unet_image_segmentation_tpu.config import ModelConfig
+    from unet_image_segmentation_tpu.models.unet import build_unet, init_unet
+    from unet_image_segmentation_tpu.parallel.mesh import create_mesh
+    from unet_image_segmentation_tpu.serving import (
+        build_serving_forward_sharded,
+    )
+    from unet_image_segmentation_tpu.serving_quant import (
+        build_serving_forward_sharded_quant,
+    )
+
+    hw = 64
+    cfg = ModelConfig(
+        image_height=hw, image_width=hw, filters=(8, 16), dropout_rate=0.0
+    )
+    model = build_unet(cfg)
+    variables = init_unet(model, jax.random.PRNGKey(2), cfg.input_shape)
+    kw = dict(num_classes=1, depth=2, compute_dtype=jnp.float32)
+    x = jnp.asarray(rng_np.rand(4, hw, hw, 3).astype(np.float32))
+    scales = calibrate_chained(variables, x, **kw)
+
+    mesh = create_mesh(data=2, spatial=4)
+    mesh1 = create_mesh(data=1, spatial=1)
+    got = np.asarray(
+        build_serving_forward_sharded_quant(variables, scales, mesh, **kw)(x)
+    )
+    want = np.asarray(
+        build_serving_forward_sharded_quant(variables, scales, mesh1, **kw)(x)
+    )
+    # XLA may reassociate f32 math differently between the two programs;
+    # a value sitting exactly on a rounding tie can then flip one int8
+    # quantum.  Allow a <=0.1% tail of single-quantum flips.
+    diff = np.abs(got - want)
+    assert float((diff > 1e-5).mean()) <= 1e-3, float((diff > 1e-5).mean())
+    assert diff.max() < 5e-3, diff.max()
+
+    ref = np.asarray(
+        build_serving_forward_sharded(variables, mesh, **kw)(x)
+    )
+    assert np.abs(got - ref).max() < 5e-3, np.abs(got - ref).max()

@@ -338,3 +338,143 @@ def build_serving_forward_quant(
             variables, scales, num_classes, depth, compute_dtype
         )
     )
+
+
+def build_serving_forward_sharded_quant(
+    variables: Dict[str, Any],
+    scales: Dict[str, float],
+    mesh,
+    num_classes: int = 1,
+    depth: int = 4,
+    compute_dtype: Any = jnp.bfloat16,
+    batch_axis: str = "data",
+    spatial_axis: str = "spatial",
+) -> Callable[[jax.Array], jax.Array]:
+    """Spatially-sharded int8 serving graph (shard_map + int8 halos).
+
+    The multi-chip composition of the quantized graph: image rows shard
+    on ``spatial_axis`` exactly like ``serving.build_serving_forward_sharded``
+    (2-row halos around every fused pair, edge flags at the true image
+    edge), but the tensors the halos exchange over ICI are **int8** —
+    halving the collective bytes along with the HBM traffic.  The
+    symmetric quantization maps 0.0 -> 0, so the zero halo rows at the
+    image edge keep the reference's 'same'-padding semantics exactly.
+
+    Encoder/bottleneck stages run int8-in/int8-out with 2x2 pools
+    directly on int8 (monotone => exact).  Decoder stages dequantize the
+    upsample + skip into the compute dtype for the concat (stream scales
+    differ; a shared-scale int8 concat would cost extra precision) and
+    re-enter int8 at the pair output.  The head runs fp32 as everywhere.
+    """
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from unet_image_segmentation_tpu.parallel.halo import halo_exchange
+    from unet_image_segmentation_tpu.serving import _single_block
+
+    if spatial_axis not in mesh.shape:
+        raise ValueError(f"mesh has no {spatial_axis!r} axis: {mesh.shape}")
+    n_spatial = mesh.shape[spatial_axis]
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+
+    def halo_pair_q(x, b1, b2, s_in, s_out):
+        """One fused pair with 2-row int8 (or float) halos; int8 out.
+
+        ``s_in`` is None when ``x`` is a float tensor (decoder concat).
+        """
+        kw = dict(
+            in_scale=s_in,
+            out_scale=s_out,
+            compute_dtype=compute_dtype,
+        )
+        if n_spatial == 1:
+            y = fused_sepconv_pair(x, b1, b2, **kw)
+            if y is not None:
+                return y
+        else:
+            idx = jax.lax.axis_index(spatial_axis)
+            top_edge = (idx == 0).astype(jnp.int32)
+            bot_edge = (idx == n_spatial - 1).astype(jnp.int32)
+            xp = halo_exchange(x, spatial_axis, halo=2)
+            y = fused_sepconv_pair(
+                xp, b1, b2, edge_flags=(top_edge, bot_edge), **kw
+            )
+            if y is not None:
+                return y[:, 2:-2]
+        # no packing/tile fit: float per-block halos, requantized output
+        xf = x if s_in is None else dequantize(x, s_in, compute_dtype)
+        if n_spatial == 1:
+            return quantize(_single_block(_single_block(xf, b1), b2), s_out)
+        x1 = halo_exchange(xf, spatial_axis, halo=1)
+        y1 = _single_block(x1, b1)[:, 1:-1]
+        y1p = halo_exchange(y1, spatial_axis, halo=1)
+        return quantize(_single_block(y1p, b2)[:, 1:-1], s_out)
+
+    def local_forward(x: jax.Array) -> jax.Array:
+        s_cur = scales["input"]
+        xq = quantize(x, s_cur)
+        skips = []
+        for stage in range(1, depth + 1):
+            b1 = _block_dict(params, stats, f"enc{stage}_block1")
+            b2 = _block_dict(params, stats, f"enc{stage}_block2")
+            s_out = scales[f"enc{stage}"]
+            z = halo_pair_q(xq, b1, b2, s_cur, s_out)
+            skips.append((z, s_out))
+            xq = conv_ops.max_pool_2x2(z)  # int8 pool: exact
+            s_cur = s_out
+
+        xq = halo_pair_q(
+            xq,
+            _block_dict(params, stats, "bneck_block1"),
+            _block_dict(params, stats, "bneck_block2"),
+            s_cur,
+            scales["bneck"],
+        )
+        s_cur = scales["bneck"]
+
+        for i, stage in enumerate(range(depth, 0, -1)):
+            up = params[f"dec{stage}_upsample"]
+            b1 = _block_dict(params, stats, f"dec{stage}_block1")
+            b2 = _block_dict(params, stats, f"dec{stage}_block2")
+            # dequant folds into the transpose conv (row-local: 2x2/s2
+            # upsampling never crosses shard boundaries)
+            up_f = conv_ops.conv_transpose_2x2(
+                xq.astype(compute_dtype),
+                (up["kernel"].astype(jnp.float32) * s_cur).astype(
+                    compute_dtype
+                ),
+                up["bias"],
+            )
+            z_skip, s_skip = skips[depth - 1 - i]
+            skip_f = dequantize(z_skip, s_skip, compute_dtype)
+            cat = jnp.concatenate([up_f, skip_f], axis=-1)
+            s_out = scales[f"dec{stage}"]
+            xq = halo_pair_q(cat, b1, b2, None, s_out)
+            s_cur = s_out
+
+        head = params["output_mask"]
+        logits = conv_ops.pointwise_conv2d(
+            xq.astype(compute_dtype),
+            (head["kernel"].astype(jnp.float32) * s_cur).astype(
+                compute_dtype
+            ),
+            head["bias"],
+        )
+        logits = logits.astype(jnp.float32)
+        if num_classes == 1:
+            return jax.nn.sigmoid(logits)
+        return jax.nn.softmax(logits, axis=-1)
+
+    spec = P(batch_axis, spatial_axis, None, None)
+    sharded = shard_map(
+        local_forward,
+        mesh=mesh,
+        in_specs=spec,
+        out_specs=spec,
+        check_vma=False,
+    )
+    io_sharding = NamedSharding(mesh, spec)
+    return jax.jit(
+        sharded, in_shardings=(io_sharding,), out_shardings=io_sharding
+    )
