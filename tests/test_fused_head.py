@@ -1,0 +1,277 @@
+"""Fused segmentation head (ops/pallas/fused_head.py): the final decoder
+chain + 1x1-conv/sigmoid head + dice-loss/metric reductions as one Pallas
+kernel pair, vs the composed-XLA oracle (interpret mode on CPU).
+
+The reference's head is ``Conv2D(1x1) -> sigmoid`` (model/u_net.py:103-106)
+followed by the dice loss (utils/loss.py:9-29) and Keras MeanIoU metrics
+(scripts/train.py:231-239); these tests pin that the fused path reproduces
+the composed numerics — sums, BN stats, every gradient, the full train
+step, and the shard_map DP composition."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unet_image_segmentation_tpu.config import Config
+from unet_image_segmentation_tpu.models.unet import build_unet
+from unet_image_segmentation_tpu.ops import conv as conv_ops
+from unet_image_segmentation_tpu.ops.losses import dice_loss, loss_from_sums
+from unet_image_segmentation_tpu.ops.pallas import fused_head as fh
+from unet_image_segmentation_tpu.ops.pallas import fused_train as ft
+from unet_image_segmentation_tpu.parallel.mesh import (
+    batch_sharding,
+    create_mesh,
+    replicated,
+)
+from unet_image_segmentation_tpu.train.state import create_train_state
+from unet_image_segmentation_tpu.train.steps import make_train_step
+
+SMOOTH = 1e-7
+
+
+def _chain_fixture(rng, c0=32, f=64, n=2):
+    blocks = []
+    c = c0
+    for _ in range(n):
+        dw = (rng.randn(3, 3, c, 1) * 0.3).astype(np.float32)
+        pw = (rng.randn(1, 1, c, f) * 0.1).astype(np.float32)
+        gamma = (rng.rand(f) + 0.5).astype(np.float32)
+        beta = rng.randn(f).astype(np.float32)
+        blocks.append(tuple(map(jnp.asarray, (dw, pw, gamma, beta))))
+        c = f
+    return blocks
+
+
+def _oracle_sums(x, t, blocks, w_head, b_head):
+    """Composed XLA: chain_reference -> 1x1 conv -> sigmoid -> reductions."""
+    z, stats = ft.chain_reference(
+        x,
+        [
+            (d.reshape(3, 3, -1), p.reshape(p.shape[-2], p.shape[-1]), g, b)
+            for (d, p, g, b) in blocks
+        ],
+    )
+    logits = conv_ops.pointwise_conv2d(z, w_head, b_head).astype(jnp.float32)
+    return fh.head_sums_reference(jax.nn.sigmoid(logits), t), stats
+
+
+def test_fused_head_matches_oracle_and_grads(rng_np):
+    B, H, W, C0, F = 2, 16, 64, 32, 64  # chain [32->64->64], w=64 -> p=2
+    blocks = _chain_fixture(rng_np, C0, F)
+    w_head = jnp.asarray((rng_np.randn(1, 1, F, 1) * 0.2).astype(np.float32))
+    b_head = jnp.asarray(rng_np.randn(1).astype(np.float32))
+    x = jnp.asarray(rng_np.rand(B, H, W, C0).astype(np.float32))
+    t = jnp.asarray((rng_np.rand(B, H, W, 1) > 0.5).astype(np.float32))
+
+    def loss_oracle(params):
+        blks, wh, bh = params
+        sums, stats = _oracle_sums(x, t, blks, wh, bh)
+        return loss_from_sums("dice", sums), (sums, stats)
+
+    def loss_fused(params):
+        blks, wh, bh = params
+        out = fh.fused_head_train(x, blks, wh, bh, t)
+        assert out is not None, "fused head should be feasible here"
+        sums, stats = out
+        return loss_from_sums("dice", sums), (sums, stats)
+
+    params = (blocks, w_head, b_head)
+    (l1, (s1, st1)), g1 = jax.value_and_grad(loss_oracle, has_aux=True)(params)
+    (l2, (s2, st2)), g2 = jax.value_and_grad(loss_fused, has_aux=True)(params)
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for k in fh.SUM_KEYS:
+        np.testing.assert_allclose(
+            np.asarray(s1[k]), np.asarray(s2[k]), rtol=1e-5, err_msg=k
+        )
+    for (m1, v1), (m2, v2) in zip(st1, st2):
+        np.testing.assert_allclose(
+            np.asarray(m1), np.asarray(m2), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(v1), np.asarray(v2), rtol=1e-3, atol=1e-5
+        )
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6
+        )
+
+
+def test_fused_head_iou_loss(rng_np):
+    """The IoU/Jaccard family shares the sums; only the combine differs."""
+    B, H, W, C0, F = 1, 8, 32, 16, 32  # p = 4
+    blocks = _chain_fixture(rng_np, C0, F)
+    w_head = jnp.asarray((rng_np.randn(1, 1, F, 1) * 0.2).astype(np.float32))
+    b_head = jnp.asarray(rng_np.randn(1).astype(np.float32))
+    x = jnp.asarray(rng_np.rand(B, H, W, C0).astype(np.float32))
+    t = jnp.asarray((rng_np.rand(B, H, W, 1) > 0.5).astype(np.float32))
+
+    s_o, _ = _oracle_sums(x, t, blocks, w_head, b_head)
+    out = fh.fused_head_train(x, blocks, w_head, b_head, t)
+    assert out is not None
+    s_f, _ = out
+    np.testing.assert_allclose(
+        float(loss_from_sums("iou", s_o)),
+        float(loss_from_sums("iou", s_f)),
+        rtol=1e-6,
+    )
+
+
+def test_fused_head_bf16_rounding_point(rng_np):
+    """bf16 models: the kernel's logit rounding must sit exactly where the
+    XLA head rounds (conv output cast + same-dtype bias add)."""
+    B, H, W, C0, F = 1, 8, 64, 32, 64
+    blocks = [
+        tuple(jnp.asarray(a) for a in blk) for blk in _chain_fixture(rng_np, C0, F)
+    ]
+    w_head = jnp.asarray((rng_np.randn(1, 1, F, 1) * 0.2).astype(np.float32))
+    b_head = jnp.asarray(rng_np.randn(1).astype(np.float32))
+    x = jnp.asarray(rng_np.rand(B, H, W, C0), jnp.bfloat16)
+    t = jnp.asarray((rng_np.rand(B, H, W, 1) > 0.5).astype(np.float32))
+
+    # oracle with the same dtype discipline as models/unet.py
+    z, _ = ft.chain_reference(
+        x,
+        [
+            (d.reshape(3, 3, -1), p.reshape(p.shape[-2], p.shape[-1]), g, b)
+            for (d, p, g, b) in blocks
+        ],
+    )
+    logits = conv_ops.pointwise_conv2d(z, w_head, b_head).astype(jnp.float32)
+    s_o = fh.head_sums_reference(jax.nn.sigmoid(logits), t)
+
+    out = fh.fused_head_train(x, blocks, w_head, b_head, t)
+    assert out is not None
+    s_f, _ = out
+    for k in ("i", "p", "t"):
+        np.testing.assert_allclose(
+            np.asarray(s_o[k]), np.asarray(s_f[k]), rtol=2e-3, err_msg=k
+        )
+
+
+def test_multiclass_head_returns_none(rng_np):
+    """num_classes > 1 is out of the fused head's contract."""
+    blocks = _chain_fixture(rng_np, 16, 32)
+    w_head = jnp.asarray(np.zeros((1, 1, 32, 3), np.float32))
+    b_head = jnp.asarray(np.zeros(3, np.float32))
+    x = jnp.asarray(rng_np.rand(1, 8, 32, 16).astype(np.float32))
+    t = jnp.asarray((rng_np.rand(1, 8, 32, 1) > 0.5).astype(np.float32))
+    assert fh.fused_head_train(x, blocks, w_head, b_head, t) is None
+
+
+def _step_fixture(rng, use_pallas, **over):
+    base = dict(
+        model__image_height=32, model__image_width=32, model__filters=(8, 16),
+        model__dropout_rate=0.0, train__batch_size=2,
+    )
+    base.update(over)
+    cfg = Config().override(model__use_pallas=use_pallas, **base)
+    model = build_unet(cfg.model)
+    state = create_train_state(cfg, model=model)
+    return cfg, model, state
+
+
+def test_train_step_head_sums_matches_xla_step(rng_np):
+    """The full fused-head train step (forward + backward + AdamW + metric
+    bundle) reproduces the XLA step: loss, dice, both confusion matrices,
+    post-update params, and BN running stats."""
+    images = rng_np.rand(2, 32, 32, 3).astype(np.float32)
+    masks = (rng_np.rand(2, 32, 32, 1) > 0.5).astype(np.float32)
+
+    _, m_x, s_x = _step_fixture(rng_np, use_pallas=False)
+    _, m_p, s_p = _step_fixture(rng_np, use_pallas=True)
+    n_x, met_x = make_train_step(m_x, donate=False)(
+        s_x, jnp.asarray(images), jnp.asarray(masks)
+    )
+    n_p, met_p = make_train_step(m_p, donate=False)(
+        s_p, jnp.asarray(images), jnp.asarray(masks)
+    )
+
+    np.testing.assert_allclose(
+        float(met_x["loss"]), float(met_p["loss"]), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(met_x["dice"]), float(met_p["dice"]), rtol=1e-4
+    )
+    for key in ("cm_thresh", "cm_raw"):
+        np.testing.assert_allclose(
+            np.asarray(met_x[key]), np.asarray(met_p[key]), atol=0.5,
+            err_msg=key,
+        )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(n_x.params),
+        jax.tree_util.tree_leaves(n_p.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=4e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(n_x.batch_stats),
+        jax.tree_util.tree_leaves(n_p.batch_stats),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_dp_head_sums_step_matches_single_device(rng_np):
+    """Fused head x the mesh: the shard_map DP step with head sums equals
+    the single-device fused-head step (psum'd BN boundary, pmean'd grads)."""
+    images = rng_np.rand(8, 32, 32, 3).astype(np.float32)
+    masks = (rng_np.rand(8, 32, 32, 1) > 0.5).astype(np.float32)
+    cfg = Config().override(
+        model__image_height=32, model__image_width=32,
+        model__filters=(8, 16), model__dropout_rate=0.0,
+        model__use_pallas=True, train__batch_size=8,
+    )
+
+    model1 = build_unet(cfg.model)
+    state1 = create_train_state(cfg, model=model1)
+    new1, m1 = make_train_step(model1, donate=False)(
+        state1, jnp.asarray(images), jnp.asarray(masks)
+    )
+
+    mesh = create_mesh(data=4, devices=jax.devices()[:4])
+    model2 = build_unet(cfg.model, bn_axis_name="data")
+    state2 = jax.device_put(
+        create_train_state(cfg, model=model2), replicated(mesh)
+    )
+    sharding = batch_sharding(mesh)
+    new2, m2 = make_train_step(model2, donate=False, mesh=mesh)(
+        state2,
+        jax.device_put(images, sharding),
+        jax.device_put(masks, sharding),
+    )
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(m1["cm_thresh"]), np.asarray(m2["cm_thresh"]), rtol=0
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(new1.params),
+        jax.tree_util.tree_leaves(new2.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=4e-4)
+
+
+def test_head_sums_contract_on_xla_path(rng_np):
+    """head_targets on a non-Pallas model returns the same sums dict,
+    computed from materialized probabilities — contract is path-invariant."""
+    cfg, model, state = _step_fixture(rng_np, use_pallas=False)
+    images = jnp.asarray(rng_np.rand(2, 32, 32, 3).astype(np.float32))
+    masks = jnp.asarray((rng_np.rand(2, 32, 32, 1) > 0.5).astype(np.float32))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    preds, _ = model.apply(
+        variables, images, train=True, mutable=["batch_stats"]
+    )
+    sums, _ = model.apply(
+        variables, images, train=True, mutable=["batch_stats"],
+        head_targets=masks,
+    )
+    ref = fh.head_sums_reference(preds, masks)
+    for k in fh.SUM_KEYS:
+        np.testing.assert_allclose(
+            np.asarray(ref[k]), np.asarray(sums[k]), rtol=1e-6, err_msg=k
+        )
+    np.testing.assert_allclose(
+        float(dice_loss(masks, preds)),
+        float(loss_from_sums("dice", sums)),
+        rtol=1e-6,
+    )

@@ -227,6 +227,79 @@ def test_dp_fused_chain_step_matches_single_device(rng_np):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+def test_dp_fused_chain_raw_grads_match_single_device(rng_np):
+    """RAW gradients (pre-optimizer) of the shard_map fused-chain step must
+    equal the single-device gradients per parameter.  The post-AdamW parity
+    test above cannot catch per-parameter SCALE errors (Adam's m/sqrt(v) is
+    scale-invariant per element) — this pins the exact convention: dgamma/
+    dbeta are per-shard partials that the step's pmean aggregates, while
+    the psum'd S/T reductions feed only the BN backward combine constants
+    (the round-3 fix in _chain_bwd_links)."""
+    from unet_image_segmentation_tpu.ops.losses import dice_loss
+
+    cfg = Config().override(
+        model__image_height=32, model__image_width=32,
+        model__filters=(8,), model__dropout_rate=0.0,
+        model__use_pallas=True, train__batch_size=8,
+    )
+    images = jnp.asarray(rng_np.rand(8, 32, 32, 3).astype(np.float32))
+    masks = jnp.asarray(
+        (rng_np.rand(8, 32, 32, 1) > 0.5).astype(np.float32)
+    )
+
+    m1 = build_unet(cfg.model)
+    s1 = create_train_state(cfg, model=m1)
+    bstats = s1.batch_stats
+
+    def loss_single(params):
+        preds, _ = m1.apply(
+            {"params": params, "batch_stats": bstats},
+            images, train=True, mutable=["batch_stats"],
+        )
+        return dice_loss(masks, preds)
+
+    g1 = jax.grad(loss_single)(s1.params)
+
+    mesh = create_mesh(data=4, devices=jax.devices()[:4])
+    m2 = build_unet(cfg.model, bn_axis_name="data")
+
+    def local_grads(params, imgs, msks):
+        def lf(p):
+            preds, _ = m2.apply(
+                {"params": p, "batch_stats": bstats},
+                imgs, train=True, mutable=["batch_stats"],
+            )
+            return dice_loss(msks, preds)
+
+        return jax.lax.pmean(jax.grad(lf)(params), "data")
+
+    from jax import shard_map
+
+    g2 = jax.jit(
+        shard_map(
+            local_grads, mesh=mesh,
+            in_specs=(P(), P("data"), P("data")),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )(
+        jax.device_put(s1.params, replicated(mesh)),
+        jax.device_put(images, batch_sharding(mesh)),
+        jax.device_put(masks, batch_sharding(mesh)),
+    )
+
+    flat2 = dict(
+        (jax.tree_util.keystr(p), v)
+        for p, v in jax.tree_util.tree_leaves_with_path(g2)
+    )
+    for path, v in jax.tree_util.tree_leaves_with_path(g1):
+        key = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(
+            np.asarray(flat2[key]), np.asarray(v), rtol=1e-3, atol=1e-7,
+            err_msg=key,
+        )
+
+
 def test_sharded_eval_step_matches_single_device(rng_np):
     """The shard_map eval step (Pallas inference kernels per-shard) equals
     the plain jit eval on the same state."""

@@ -81,8 +81,13 @@ class Conv(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        c = x.shape[-1]
+    def __call__(
+        self,
+        x: jax.Array,
+        params_only: bool = False,
+        in_features: Optional[int] = None,
+    ) -> Any:
+        c = in_features if in_features is not None else x.shape[-1]
         k = self.kernel_size
         kernel = self.param(
             "kernel", glorot_uniform, (k, k, c, self.features), jnp.float32
@@ -92,6 +97,10 @@ class Conv(nn.Module):
             if self.use_bias
             else None
         )
+        if params_only:
+            # fused-head path: declare the identical variable tree, return
+            # the raw kernels (checkpoints interchangeable with this path)
+            return kernel, bias
         x = x.astype(self.dtype)
         if k == 1:
             return conv_ops.pointwise_conv2d(x, kernel, bias)

@@ -30,8 +30,16 @@ import jax
 import jax.numpy as jnp
 
 from unet_image_segmentation_tpu.config import ModelConfig
-from unet_image_segmentation_tpu.models.layers import ConvBlock, TransposeUp
+from unet_image_segmentation_tpu.models.layers import Conv, ConvBlock, TransposeUp
 from unet_image_segmentation_tpu.ops.conv import max_pool_2x2
+
+
+class _HeadSums:
+    """Marker wrapper: the decoder produced fused-head SUMS, not an
+    activation — the caller returns them instead of running the XLA head."""
+
+    def __init__(self, sums):
+        self.sums = sums
 
 
 class UNet(nn.Module):
@@ -46,7 +54,23 @@ class UNet(nn.Module):
     dropout_impl: str = "auto"  # 'auto' | 'hash' | 'rng' (see ModelConfig)
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        train: bool = False,
+        head_targets: Optional[jax.Array] = None,
+    ) -> Any:
+        """Forward pass: probabilities ``(B, H, W, num_classes)``.
+
+        ``head_targets`` (training only): ground-truth masks.  When given,
+        the model returns the fused-head SUMS contract instead of
+        probabilities — a dict of per-sample loss/metric reductions (see
+        ``ops.pallas.fused_head.SUM_KEYS``).  On the Pallas chain path the
+        last decoder stage + 1x1-conv head + sigmoid + reductions run as
+        one kernel pair and the probability tensor never reaches HBM; on
+        every other path the same dict is computed from the materialized
+        probabilities, so the contract (and numerics) are path-independent.
+        """
         if x.ndim != 4:
             raise ValueError(f"expected NHWC input, got shape {x.shape}")
         h, w = x.shape[1], x.shape[2]
@@ -127,7 +151,8 @@ class UNet(nn.Module):
             c_in: Optional[int] = None,
             drop_rate: float = 0.0,
             drop_seed: Optional[jax.Array] = None,
-        ) -> jax.Array:
+            fuse_head: bool = False,
+        ) -> Any:
             b1, b2 = block(feats, name1), block(feats, name2)
             if not use_chain:
                 return b2(b1(x, train), train)
@@ -138,9 +163,40 @@ class UNet(nn.Module):
             c0 = c_in if c_in is not None else x.shape[-1]
             p1 = b1(x, train, params_only=True, in_features=c0)
             p2 = b2(x, train, params_only=True, in_features=feats)
+            chain_blocks = [(p[0], p[1], p[2], p[3]) for p in (p1, p2)]
+            if fuse_head and drop_rate == 0.0:
+                # Fused segmentation head: this (final) decoder stage, the
+                # 1x1-conv + sigmoid head, and the loss/metric reductions
+                # run as one kernel pair on the chain's packed layout
+                # (ops/pallas/fused_head.py) — the full-resolution
+                # probability tensor never reaches HBM.
+                from unet_image_segmentation_tpu.ops.pallas.fused_head import (
+                    fused_head_train,
+                )
+
+                wk, bk = Conv(
+                    features=self.num_classes,
+                    kernel_size=1,
+                    dtype=self.dtype,
+                    name="output_mask",
+                )(x, params_only=True, in_features=feats)
+                out = fused_head_train(
+                    x.astype(self.dtype),
+                    chain_blocks,
+                    wk,
+                    bk,
+                    head_targets,
+                    eps=1e-3,
+                    axis_name=self.bn_axis_name,
+                    in_packed=in_packed,
+                )
+                if out is not None:
+                    sums, stats = out
+                    _update_bn(stats, (p1, p2))
+                    return _HeadSums(sums)
             z, stats = fused_chain_train(
                 x.astype(self.dtype),
-                [(p[0], p[1], p[2], p[3]) for p in (p1, p2)],
+                chain_blocks,
                 eps=1e-3,
                 axis_name=self.bn_axis_name,
                 in_packed=in_packed,
@@ -231,6 +287,13 @@ class UNet(nn.Module):
         for i, f in enumerate(rev_filters):
             stage = depth - i
             has_dropout = self.dropout_rate > 0.0 and i < depth - 1
+            # final decoder stage + head + loss sums fuse into one kernel
+            # pair when the caller asked for the sums contract (binary head)
+            want_head = (
+                head_targets is not None
+                and self.num_classes == 1
+                and i == depth - 1
+            )
             # Packed decoder feed (training chain only): the upsample's
             # row parity splits into two (C, 2F) matmuls whose stacked
             # output IS pack-2 layout (no 6D-transpose pixel shuffle),
@@ -290,6 +353,7 @@ class UNet(nn.Module):
                                 if (has_dropout and hash_drop)
                                 else None
                             ),
+                            fuse_head=want_head,
                         )
                         continue
             if train and use_chain and p_dec >= 2 and isinstance(rev_skips[i], tuple):
@@ -327,6 +391,7 @@ class UNet(nn.Module):
                     c_in=2 * f,
                     drop_rate=self.dropout_rate if (has_dropout and hash_drop) else 0.0,
                     drop_seed=site_seed(stage) if (has_dropout and hash_drop) else None,
+                    fuse_head=want_head,
                 )
                 continue
             x = up_mod(x)
@@ -351,6 +416,7 @@ class UNet(nn.Module):
                         f"dec{stage}_block2",
                         drop_rate=self.dropout_rate,
                         drop_seed=site_seed(stage),
+                        fuse_head=want_head,
                     )
                     continue
                 if has_dropout:
@@ -365,7 +431,11 @@ class UNet(nn.Module):
                             name=f"dec{stage}_dropout",
                         )(x)
                 x = run_pair(
-                    x, f, f"dec{stage}_block1", f"dec{stage}_block2"
+                    x,
+                    f,
+                    f"dec{stage}_block1",
+                    f"dec{stage}_block2",
+                    fuse_head=want_head,
                 )
             else:
                 if has_dropout:
@@ -383,15 +453,26 @@ class UNet(nn.Module):
                 x = block(f, f"dec{stage}_block2")(x, train)
 
         # --- Head (computed in float32 for a stable sigmoid/softmax) ---
-        from unet_image_segmentation_tpu.models.layers import Conv
-
+        if isinstance(x, _HeadSums):
+            return x.sums  # fused head already reduced loss/metric sums
         logits = Conv(
             features=self.num_classes, kernel_size=1, dtype=self.dtype, name="output_mask"
         )(x)
         logits = logits.astype(jnp.float32)
-        if self.num_classes == 1:
-            return jax.nn.sigmoid(logits)
-        return jax.nn.softmax(logits, axis=-1)
+        preds = (
+            jax.nn.sigmoid(logits)
+            if self.num_classes == 1
+            else jax.nn.softmax(logits, axis=-1)
+        )
+        if head_targets is not None and self.num_classes == 1:
+            # sums contract on the non-fused paths: same dict, computed
+            # from the materialized probabilities
+            from unet_image_segmentation_tpu.ops.pallas.fused_head import (
+                head_sums_reference,
+            )
+
+            return head_sums_reference(preds, head_targets)
+        return preds
 
 
 def build_unet(cfg: ModelConfig, bn_axis_name: Optional[str] = None) -> UNet:

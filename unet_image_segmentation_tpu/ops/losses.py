@@ -63,6 +63,31 @@ def categorical_ce_loss(
     return jnp.mean(per_pixel)
 
 
+SUMS_LOSSES = ("dice", "iou", "jaccard")
+
+
+def loss_from_sums(name: str, sums: dict) -> jax.Array:
+    """Dice-family loss from the fused head's per-sample reductions.
+
+    ``sums``: the SUM_KEYS dict (``ops.pallas.fused_head``) — ``i`` =
+    per-sample intersection, ``p`` = prediction sum, ``t`` = target sum.
+    Same formula/order as :func:`dice_loss` / :func:`iou_loss` (per-sample
+    coefficient, mean over batch, 1 - mean), so the fused training path
+    reproduces the composed loss to reduction-order noise.
+    """
+    i, p, t = sums["i"], sums["p"], sums["t"]
+    if name == "dice":
+        coef = (2.0 * i + SMOOTH) / (t + p + SMOOTH)
+    elif name in ("iou", "jaccard"):
+        coef = (i + SMOOTH) / (t + p - i + SMOOTH)
+    else:
+        raise ValueError(
+            f"loss {name!r} is not expressible from the head sums; "
+            f"available: {SUMS_LOSSES}"
+        )
+    return 1.0 - jnp.mean(coef)
+
+
 _LOSSES: dict[str, Callable[..., jax.Array]] = {
     "dice": dice_loss,
     "iou": iou_loss,

@@ -1975,7 +1975,6 @@ def _chain_bwd(
         g_zout, stats_cot = cotangents
         g_pool = None
     blocks = _unflatten_params(flat_params)
-    grads_per_block = [None] * n_blocks
 
     def psum_if(v):
         return jax.lax.psum(v, axis_name) if axis_name is not None else v
@@ -2056,21 +2055,18 @@ def _chain_bwd(
                 bsz, h_, wp_, pf_
             ).astype(jnp.float32)
             dzt = jnp.where(wlin > 0, g_z, 0.0)
-            S = psum_if(group_sum(jnp.sum(dzt, axis=(0, 1, 2)), f_last))
-            T = psum_if(
-                group_sum(
-                    jnp.sum(
-                        dzt * ((yk - tile_p(mean)) * tile_p(r)),
-                        axis=(0, 1, 2),
-                    ),
-                    f_last,
-                )
+            S_loc = group_sum(jnp.sum(dzt, axis=(0, 1, 2)), f_last)
+            T_loc = group_sum(
+                jnp.sum(
+                    dzt * ((yk - tile_p(mean)) * tile_p(r)),
+                    axis=(0, 1, 2),
+                ),
+                f_last,
             )
             g_raw = dzt.astype(ys[k].dtype)
         else:
             dzt_p, st = fused_tail
-            S = psum_if(st[0])
-            T = psum_if(st[1])
+            S_loc, T_loc = st[0], st[1]
             g_raw = dzt_p
         g_is_masked = True
     else:
@@ -2080,16 +2076,49 @@ def _chain_bwd(
         yk = ys[k].astype(jnp.float32)
         gz = g_zout.astype(jnp.float32)
         dzt = jnp.where((yk * tile_p(a_out) + tile_p(b_out)) > 0, gz, 0.0)
-        S = psum_if(group_sum(jnp.sum(dzt, axis=(0, 1, 2)), f_last))
-        T = psum_if(
-            group_sum(
-                jnp.sum(
-                    dzt * ((yk - tile_p(mean)) * tile_p(r)), axis=(0, 1, 2)
-                ),
-                f_last,
-            )
+        S_loc = group_sum(jnp.sum(dzt, axis=(0, 1, 2)), f_last)
+        T_loc = group_sum(
+            jnp.sum(
+                dzt * ((yk - tile_p(mean)) * tile_p(r)), axis=(0, 1, 2)
+            ),
+            f_last,
         )
         g_raw = g_zout        # raw grad stream for the current block
+    return _chain_bwd_links(
+        n_blocks, eps, axis_name, in_p, drop_rate,
+        blocks, stats, stats_cot, ys, z_first, n, p, drop_seed,
+        g_raw, psum_if(S_loc), psum_if(T_loc), g_is_masked,
+        S_loc=S_loc, T_loc=T_loc,
+    )
+
+
+def _chain_bwd_links(
+    n_blocks, eps, axis_name, in_p, drop_rate,
+    blocks, stats, stats_cot, ys, z_first, n, p, drop_seed,
+    g_raw, S, T, g_is_masked, S_loc=None, T_loc=None,
+):
+    """Backward through the chain's links given the boundary gradient.
+
+    ``g_raw``: cotangent stream w.r.t. the last block's raw output (ReLU
+    mask already applied iff ``g_is_masked``); ``S``/``T``: the BN
+    backward reductions of that stream, psum'd over ``axis_name`` (the
+    normalization batch is global, so the combine constants need global
+    sums).  ``S_loc``/``T_loc``: the same reductions over the LOCAL shard
+    only — dgamma/dbeta must be per-shard partials because the train step
+    pmeans the gradient tree across the mesh (psum'd values would come out
+    n_shards x too large; Adam's per-parameter scale invariance masks
+    that, raw SGD would not).  None (the default) means ``axis_name`` is
+    None and S/T are already local.  Shared by :func:`_chain_bwd` (whose
+    boundary is the affine+ReLU [+pool] exit) and the fused head
+    (:mod:`.fused_head`, whose boundary is the 1x1-conv + sigmoid + loss
+    reductions).  Returns ``(dz_in, d_seed, *flat_grads)``."""
+
+    def psum_if(v):
+        return jax.lax.psum(v, axis_name) if axis_name is not None else v
+
+    if S_loc is None:
+        S_loc, T_loc = S, T
+    grads_per_block = [None] * n_blocks
     dz_in = None
     for k in range(n_blocks - 1, -1, -1):
         dwk, pww, gamma, beta = blocks[k]
@@ -2103,8 +2132,8 @@ def _chain_bwd(
         A = a_out
         B = -(a_out * S) / n + g_m / n
         C = -(a_out * r * T) / n + 2.0 * g_v / n
-        dgamma = T
-        dbeta = S
+        dgamma = T_loc
+        dbeta = S_loc
 
         x_in = z_first if k == 0 else ys[k - 1]
         if k > 0:
@@ -2196,11 +2225,13 @@ def _chain_bwd(
                 w_in = x_in.astype(jnp.float32) * in_aff[0] + in_aff[1]
                 dzt_prev = jnp.where(w_in > 0, dz.astype(jnp.float32), 0.0)
                 xhat = (x_in.astype(jnp.float32) - in_aff[2]) * in_aff[3]
-                S_prev = psum_if(jnp.sum(dzt_prev, axis=(0, 1, 2)))
-                T_prev = psum_if(jnp.sum(dzt_prev * xhat, axis=(0, 1, 2)))
+                S_prev_loc = jnp.sum(dzt_prev, axis=(0, 1, 2))
+                T_prev_loc = jnp.sum(dzt_prev * xhat, axis=(0, 1, 2))
+                S_prev = psum_if(S_prev_loc)
+                T_prev = psum_if(T_prev_loc)
                 dx = dzt_prev.astype(x_in.dtype)
             else:
-                S_prev = T_prev = None
+                S_prev = T_prev = S_prev_loc = T_prev_loc = None
                 if dr:
                     dx = hd.apply_keep(dz, keep, 1.0 / (1.0 - dr)).astype(
                         x_in.dtype
@@ -2210,10 +2241,11 @@ def _chain_bwd(
         else:
             dx, ddw, dpw, st = fused
             if in_aff is not None:
-                S_prev = psum_if(st[0])
-                T_prev = psum_if(st[1])
+                S_prev_loc, T_prev_loc = st[0], st[1]
+                S_prev = psum_if(S_prev_loc)
+                T_prev = psum_if(T_prev_loc)
             else:
-                S_prev = T_prev = None
+                S_prev = T_prev = S_prev_loc = T_prev_loc = None
         grads_per_block[k] = (
             ddw.astype(dwk.dtype),
             dpw.astype(pww.dtype),
@@ -2222,6 +2254,7 @@ def _chain_bwd(
         )
         if k > 0:
             S, T = S_prev, T_prev
+            S_loc, T_loc = S_prev_loc, T_prev_loc
             g_raw = dx            # already ReLU-masked by the kernel
             g_is_masked = True
         else:

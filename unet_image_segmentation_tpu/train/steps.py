@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from unet_image_segmentation_tpu.models.unet import UNet
-from unet_image_segmentation_tpu.ops.losses import get_loss
+from unet_image_segmentation_tpu.ops.losses import SUMS_LOSSES, get_loss, loss_from_sums
 from unet_image_segmentation_tpu.ops.metrics import confusion_matrix, dice_coef
 from unet_image_segmentation_tpu.train.state import TrainState
 
@@ -59,6 +59,33 @@ def _prep_masks(masks: jax.Array, num_classes: int) -> jax.Array:
         return masks  # already one-hot
     labels = masks[..., 0] if masks.ndim == 4 else masks
     return jax.nn.one_hot(labels.astype(jnp.int32), num_classes, dtype=jnp.float32)
+
+
+def _metric_bundle_sums(sums: Metrics, masks: jax.Array) -> Metrics:
+    """The binary metric bundle computed from the fused head's per-sample
+    reductions — same values as :func:`_metric_bundle` on materialized
+    probabilities (TP = intersection count, FP = P - I, FN = T - I,
+    TN = pixels - TP - FP - FN), without re-reading the activation."""
+    s = 1e-7  # ops.metrics.SMOOTH
+    dice = jnp.mean((2.0 * sums["i"] + s) / (sums["t"] + sums["p"] + s))
+    npix = jnp.float32(masks.shape[0] * masks.shape[1] * masks.shape[2])
+
+    def cm(ik: str, pk: str, tk: str) -> jax.Array:
+        i = jnp.sum(sums[ik])
+        p = jnp.sum(sums[pk])
+        t = jnp.sum(sums[tk])
+        return jnp.stack(
+            [
+                jnp.stack([npix - p - t + i, p - i]),
+                jnp.stack([t - i, i]),
+            ]
+        )
+
+    return {
+        "dice": dice,
+        "cm_raw": cm("ir", "pr", "tr"),
+        "cm_thresh": cm("it", "pt", "tt"),
+    }
 
 
 def _metric_bundle(masks: jax.Array, preds: jax.Array, num_classes: int) -> Metrics:
@@ -111,6 +138,19 @@ def make_train_step(
             "shard_map train step needs the model built with "
             "bn_axis_name='data' (BatchNorm moments must psum over shards)"
         )
+    # Fused segmentation head: for the dice-family losses on a binary
+    # Pallas model, the model returns the loss/metric SUMS directly (the
+    # last decoder stage + head + reductions are one kernel pair and the
+    # probability tensor never reaches HBM — ops/pallas/fused_head.py);
+    # loss and the metric bundle come from the sums.  Numerics match the
+    # composed path to reduction order (pinned in tests/test_fused_head.py).
+    use_head_sums = (
+        model.use_pallas
+        and model.use_batch_norm
+        and model.num_classes == 1
+        and model.conv_type == "separable"
+        and loss_name in SUMS_LOSSES
+    )
 
     def step_fn(
         state: TrainState, images: jax.Array, masks: jax.Array
@@ -126,18 +166,25 @@ def make_train_step(
             if has_bn:
                 variables["batch_stats"] = state.batch_stats
             rngs = {"dropout": dropout_rng} if needs_dropout else None
+            kwargs = {"head_targets": masks} if use_head_sums else {}
             if has_bn:
-                preds, mutated = state.apply_fn(
-                    variables, images, train=True, mutable=["batch_stats"], rngs=rngs
+                out, mutated = state.apply_fn(
+                    variables, images, train=True, mutable=["batch_stats"],
+                    rngs=rngs, **kwargs,
                 )
                 new_stats = mutated["batch_stats"]
             else:
-                preds = state.apply_fn(variables, images, train=True, rngs=rngs)
+                out = state.apply_fn(
+                    variables, images, train=True, rngs=rngs, **kwargs
+                )
                 new_stats = state.batch_stats
-            loss = loss_fn_core(_prep_masks(masks, model.num_classes), preds)
-            return loss, (preds, new_stats)
+            if use_head_sums:
+                loss = loss_from_sums(loss_name, out)
+            else:
+                loss = loss_fn_core(_prep_masks(masks, model.num_classes), out)
+            return loss, (out, new_stats)
 
-        (loss, (preds, new_stats)), grads = jax.value_and_grad(
+        (loss, (out, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
         if axis is not None:
@@ -155,7 +202,12 @@ def make_train_step(
             batch_stats=new_stats,
             opt_state=new_opt_state,
         )
-        metrics = {"loss": loss, **_metric_bundle(masks, preds, model.num_classes)}
+        bundle = (
+            _metric_bundle_sums(out, masks)
+            if use_head_sums
+            else _metric_bundle(masks, out, model.num_classes)
+        )
+        metrics = {"loss": loss, **bundle}
         if axis is not None:
             metrics = _reduce_metrics(metrics, axis)
         return new_state, metrics
