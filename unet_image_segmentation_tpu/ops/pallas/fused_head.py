@@ -28,11 +28,13 @@ chain's packed ``(B, H, W/p, p*F)`` layout:
   the boundary that was previously an extra XLA pass — and the head's
   own weight/bias gradients as column reductions.
 
-Targets ride lane-expanded as ``(B, H, W/p, 128)`` bfloat16 (column j =
+Targets ride lane-expanded as ``(B, H, W/p, 128)`` int8 (column j =
 the mask value of width-subpixel j, zero beyond ``p``) — one cheap XLA
 pad outside the kernel; a compact ``(…, p)`` form would force
-sub-128-lane blocks through the whole DMA pipeline.  Binary 0/1 masks
-(the ``num_classes == 1`` contract) are exact in bfloat16.
+sub-128-lane blocks through the whole DMA pipeline.  int8 halves the
+expanded tensor's HBM bytes (both kernels stream it), and binary 0/1
+masks (the ``num_classes == 1`` contract) are exact; the kernels
+upcast to float32 in VMEM.
 
 Numerics mirror the composed XLA head at the model's compute dtype: the
 logits round to that dtype before the float32 sigmoid (``models/unet.py``
@@ -89,13 +91,13 @@ def _expand_iota(p: int, dtype):
 
 def _head_fwd_kernel(
     y_hbm,     # (B, H, Wp, pF) ANY — raw (pre-BN) chain output
-    t_hbm,     # (B, H, Wp, COLS) ANY bf16 — lane-expanded targets
+    t_hbm,     # (B, H, Wp, COLS) ANY int8 — lane-expanded targets
     aff_ref,   # (2, pF) VMEM f32: pending affine a, b (tiled over p)
     wsel_ref,  # (pF, COLS) VMEM bf16 — block-diagonal head weights
     bvec_ref,  # (8, COLS) VMEM f32: row0 bias (cols < p), row1 colmask
     out_ref,   # (1, N_ROWS, COLS) VMEM f32 — per-sample sums
     ybuf,      # scratch (2, TH, Wp, pF) bf16
-    tbuf,      # scratch (2, TH, Wp, COLS) bf16
+    tbuf,      # scratch (2, TH, Wp, COLS) int8
     acc,       # scratch (N_ROWS, COLS) f32
     in_sems,   # (2, 2)
     *,
@@ -223,7 +225,7 @@ def head_fwd_sums(
 
 def _head_bwd_kernel(
     y_hbm,     # (B, H, Wp, pF) ANY
-    t_hbm,     # (B, H, Wp, COLS) ANY bf16
+    t_hbm,     # (B, H, Wp, COLS) ANY int8
     aff_ref,   # (4, pF) VMEM f32: a, b, mean, rstd (tiled over p)
     wsel_ref,  # (pF, COLS) VMEM bf16
     wselt_ref, # (COLS, pF) VMEM bf16 — transpose
@@ -569,11 +571,15 @@ _head_core.defvjp(_head_fwd, _head_bwd)
 
 def expand_targets(targets: jax.Array, p: int) -> jax.Array:
     """(B, H, W[, 1]) mask -> the kernels' lane-expanded (B, H, W/p, 128)
-    bfloat16 layout (column j = width-subpixel j; zero beyond ``p``)."""
+    int8 layout (column j = width-subpixel j; zero beyond ``p``).
+
+    int8 halves the expanded tensor's HBM traffic (it is read by BOTH
+    head kernels); binary 0/1 masks — the ``num_classes == 1`` contract —
+    are exact.  The kernels convert to float32 in VMEM."""
     if targets.ndim == 4:
         targets = targets[..., 0]
     b, h, w = targets.shape
-    t = targets.astype(jnp.bfloat16).reshape(b, h, w // p, p)
+    t = targets.astype(jnp.int8).reshape(b, h, w // p, p)
     return jnp.pad(t, ((0, 0), (0, 0), (0, 0), (0, COLS - p)))
 
 
