@@ -503,6 +503,11 @@ def main() -> None:
             extra["streaming1080p_fps_host_inclusive"] = round(
                 s["fps_host_inclusive"], 1
             )
+            # In this environment the device sits behind a network tunnel:
+            # the host->device copy path measured here is the TUNNEL, not a
+            # product property.  Mark the row invalid so downstream readers
+            # don't mistake it for real H2D throughput.
+            extra["streaming1080p_host_path_valid"] = False
         except Exception as e:
             _log(f"streaming measurement failed: {e}")
         try:

@@ -275,3 +275,60 @@ def test_head_sums_contract_on_xla_path(rng_np):
         float(loss_from_sums("dice", sums)),
         rtol=1e-6,
     )
+
+
+def test_infeasible_head_pack_falls_back_without_crash(rng_np):
+    """Shapes where no pack makes the head kernels feasible (e.g. tiny
+    filters on a tiny width) must fall through to the composed XLA head —
+    previously the head Conv was declared before feasibility was known and
+    the composed tail re-declared 'output_mask' (Flax NameInUseError)."""
+    from unet_image_segmentation_tpu.models.unet import UNet
+
+    m = UNet(
+        num_classes=1, filters=(8, 16), use_pallas=True,
+        dropout_rate=0.0, dtype=jnp.float32,
+    )
+    x = jnp.asarray(rng_np.rand(2, 8, 8, 3).astype(np.float32))
+    t = jnp.asarray((rng_np.rand(2, 8, 8, 1) > 0.5).astype(np.float32))
+    v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    sums, _ = m.apply(
+        v, x, train=True, head_targets=t, mutable=["batch_stats"]
+    )
+    preds, _ = m.apply(v, x, train=True, mutable=["batch_stats"])
+    ref = fh.head_sums_reference(preds, t)
+    for k in fh.SUM_KEYS:
+        np.testing.assert_allclose(
+            np.asarray(ref[k]), np.asarray(sums[k]), rtol=1e-6, err_msg=k
+        )
+
+
+def test_soft_targets_binarized_identically_on_both_paths(rng_np):
+    """Antialiased/soft masks (e.g. a resized 0.8) binarize via the same
+    > 0.5 threshold in expand_targets AND head_sums_reference — a plain
+    int8 cast silently floored them to zero on the fused path only."""
+    B, H, W, C0, F = 2, 16, 64, 32, 64
+    blocks = _chain_fixture(rng_np, C0, F)
+    w_head = jnp.asarray(rng_np.randn(1, 1, F, 1).astype(np.float32) * 0.3)
+    b_head = jnp.asarray(np.zeros(1, np.float32))
+    x = jnp.asarray(rng_np.rand(B, H, W, C0).astype(np.float32))
+    t_soft = jnp.asarray(rng_np.rand(B, H, W, 1).astype(np.float32))
+
+    # expand_targets must agree with the reference threshold, not floor
+    p = 2
+    t_exp = fh.expand_targets(t_soft, p)
+    manual = (np.asarray(t_soft)[..., 0] > 0.5).astype(np.int8)
+    np.testing.assert_array_equal(
+        np.asarray(t_exp).reshape(B, H, W // p, -1)[..., :p].reshape(B, H, W),
+        manual,
+    )
+
+    out = fh.fused_head_train(x, blocks, w_head, b_head, t_soft)
+    assert out is not None
+    sums, _ = out
+    ref, _ = _oracle_sums(x, t_soft, blocks, w_head, b_head)
+    for k in fh.SUM_KEYS:
+        np.testing.assert_allclose(
+            np.asarray(ref[k]), np.asarray(sums[k]), rtol=1e-5, err_msg=k
+        )
+    # soft targets must NOT collapse to zero
+    assert float(jnp.sum(sums["t"])) > 0.0

@@ -169,28 +169,38 @@ class UNet(nn.Module):
                 # 1x1-conv + sigmoid head, and the loss/metric reductions
                 # run as one kernel pair on the chain's packed layout
                 # (ops/pallas/fused_head.py) — the full-resolution
-                # probability tensor never reaches HBM.
+                # probability tensor never reaches HBM.  Feasibility is
+                # checked STATICALLY before the head Conv is declared:
+                # falling through after declaring it would declare
+                # 'output_mask' a second time at the function tail and
+                # Flax raises NameInUseError at trace time.
                 from unet_image_segmentation_tpu.ops.pallas.fused_head import (
+                    fused_head_feasible,
                     fused_head_train,
                 )
 
-                wk, bk = Conv(
-                    features=self.num_classes,
-                    kernel_size=1,
-                    dtype=self.dtype,
-                    name="output_mask",
-                )(x, params_only=True, in_features=feats)
-                out = fused_head_train(
-                    x.astype(self.dtype),
-                    chain_blocks,
-                    wk,
-                    bk,
-                    head_targets,
-                    eps=1e-3,
-                    axis_name=self.bn_axis_name,
-                    in_packed=in_packed,
-                )
-                if out is not None:
+                if fused_head_feasible(
+                    x.shape, (feats, feats), self.num_classes, in_packed
+                ):
+                    wk, bk = Conv(
+                        features=self.num_classes,
+                        kernel_size=1,
+                        dtype=self.dtype,
+                        name="output_mask",
+                    )(x, params_only=True, in_features=feats)
+                    out = fused_head_train(
+                        x.astype(self.dtype),
+                        chain_blocks,
+                        wk,
+                        bk,
+                        head_targets,
+                        eps=1e-3,
+                        axis_name=self.bn_axis_name,
+                        in_packed=in_packed,
+                    )
+                    assert out is not None, (
+                        "fused_head_train disagreed with fused_head_feasible"
+                    )
                     sums, stats = out
                     _update_bn(stats, (p1, p2))
                     return _HeadSums(sums)

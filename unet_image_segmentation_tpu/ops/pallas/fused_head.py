@@ -444,6 +444,33 @@ def head_pack_feasible(h: int, wp: int, pf: int) -> bool:
     )
 
 
+def fused_head_feasible(
+    z_shape: Sequence[int],
+    block_channels: Sequence[int],
+    num_classes: int,
+    in_packed: Optional[int] = None,
+) -> bool:
+    """Static mirror of :func:`fused_head_train`'s early-outs, callable from
+    shapes alone.  ``models/unet.py`` MUST consult this BEFORE declaring the
+    head Conv inside the fused branch: declaring it and then falling through
+    to the composed head would declare ``output_mask`` twice and Flax raises
+    ``NameInUseError`` at trace time (e.g. filters where no pack makes
+    ``p*filters[0]`` a multiple of 128)."""
+    if num_classes != 1:
+        return False
+    h = z_shape[1]
+    if in_packed in (None, 1):
+        c0 = z_shape[-1]
+        w = z_shape[2]
+        chans = [c0] + list(block_channels)
+        p = ft._chain_common_pack(chans, w) or 1
+    else:
+        p = in_packed
+        w = z_shape[2] * in_packed
+    f_last = block_channels[-1]
+    return head_pack_feasible(h, w // p, p * f_last)
+
+
 def _head_mats(w_head, b_head, p, f, dtype):
     """Build the kernels' (pF, 128) block-diagonal weight panel and the
     (8, 128) bias/colmask panel from the true head params ``w (F,)``,
@@ -574,22 +601,31 @@ def expand_targets(targets: jax.Array, p: int) -> jax.Array:
     int8 layout (column j = width-subpixel j; zero beyond ``p``).
 
     int8 halves the expanded tensor's HBM traffic (it is read by BOTH
-    head kernels); binary 0/1 masks — the ``num_classes == 1`` contract —
-    are exact.  The kernels convert to float32 in VMEM."""
+    head kernels).  Targets are binarized DETERMINISTICALLY (``> 0.5``)
+    first — a plain ``astype(int8)`` would floor antialiased/soft mask
+    values (e.g. a resized 0.8) to zero while the XLA oracle read them as
+    float, silently diverging the loss.  :func:`head_sums_reference`
+    applies the same threshold, so the sums contract is binarized and
+    path-independent by definition; exact 0/1 masks (the
+    ``num_classes == 1`` data contract, MIDV rasterized quads) are
+    untouched.  The kernels convert to float32 in VMEM."""
     if targets.ndim == 4:
         targets = targets[..., 0]
     b, h, w = targets.shape
-    t = targets.astype(jnp.int8).reshape(b, h, w // p, p)
+    t = (targets > 0.5).astype(jnp.int8).reshape(b, h, w // p, p)
     return jnp.pad(t, ((0, 0), (0, 0), (0, 0), (0, COLS - p)))
 
 
 def head_sums_reference(preds: jax.Array, targets: jax.Array) -> dict:
     """The sums contract computed from materialized probabilities (XLA
-    fallback / oracle): per-sample f32 reductions keyed by SUM_KEYS."""
+    fallback / oracle): per-sample f32 reductions keyed by SUM_KEYS.
+
+    Targets are binarized (``> 0.5``) exactly like :func:`expand_targets`
+    — the contract is defined on 0/1 masks on every path."""
     y = (preds[..., 0] if preds.ndim == 4 else preds).astype(jnp.float32)
-    t = (targets[..., 0] if targets.ndim == 4 else targets).astype(
-        jnp.float32
-    )
+    t = (
+        (targets[..., 0] if targets.ndim == 4 else targets) > 0.5
+    ).astype(jnp.float32)
     ax = (1, 2)
     pred = (y > 0.5).astype(jnp.float32)
     tth = (t > 0.5).astype(jnp.float32)

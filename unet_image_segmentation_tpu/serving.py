@@ -12,12 +12,17 @@ directly and schedules
 * MXU-matmul transpose-ups, decoder concat + fused block pairs,
 * the 1x1 sigmoid/softmax head in fp32.
 
-Measured on v5e (bf16): 256px b32 forward 26.8 ms/step (**1183-1196
-img/s, +20% over XLA's 33.3 ms**); at 1024px the pair kernel's tile
-heuristic falls back to single-block kernels (60 ms/batch streaming,
-2.4x over XLA).  Outputs are numerically the module path's outputs (same
-folded-BN math); ``tests/test_serving.py`` pins agreement.  Blocks with
-no lane packing (the 3-channel input block) fall back to composed XLA.
+Measured on v5e (bf16, round-3 ledger BENCH_r03.json): 256px b32 forward
+**1673 img/s float / 1742 img/s int8** (19.1 / 18.7 ms/step); 1080p
+streaming through the 1024px graph 76 fps float / 96 fps int8
+device-resident (52.6 / 41.5 ms per 4-frame batch).  At 1024px the pair
+kernel's tile heuristic still falls back to single-block kernels
+(re-verified round 4: with ``pool=True`` the resident pooled buffer alone
+exceeds the VMEM budget at 1024-wide rows, and without it no tile >= 8
+rows fits) — closing that is open streaming headroom.  Outputs are
+numerically the module path's outputs (same folded-BN math);
+``tests/test_serving.py`` pins agreement.  Blocks with no lane packing
+(the 3-channel input block) fall back to composed XLA.
 """
 
 from __future__ import annotations

@@ -34,7 +34,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from unet_image_segmentation_tpu.models.unet import UNet
 from unet_image_segmentation_tpu.ops.losses import SUMS_LOSSES, get_loss, loss_from_sums
-from unet_image_segmentation_tpu.ops.metrics import confusion_matrix, dice_coef
+from unet_image_segmentation_tpu.ops.metrics import SMOOTH, confusion_matrix, dice_coef
 from unet_image_segmentation_tpu.train.state import TrainState
 
 Metrics = Dict[str, jax.Array]
@@ -66,7 +66,7 @@ def _metric_bundle_sums(sums: Metrics, masks: jax.Array) -> Metrics:
     reductions — same values as :func:`_metric_bundle` on materialized
     probabilities (TP = intersection count, FP = P - I, FN = T - I,
     TN = pixels - TP - FP - FN), without re-reading the activation."""
-    s = 1e-7  # ops.metrics.SMOOTH
+    s = SMOOTH
     dice = jnp.mean((2.0 * sums["i"] + s) / (sums["t"] + sums["p"] + s))
     npix = jnp.float32(masks.shape[0] * masks.shape[1] * masks.shape[2])
 
