@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from unet_image_segmentation_tpu.config import ModelConfig
 from unet_image_segmentation_tpu.models.layers import Conv, ConvBlock, TransposeUp
+from unet_image_segmentation_tpu.ops import hash_dropout as hd
 from unet_image_segmentation_tpu.ops.conv import max_pool_2x2
 
 
@@ -49,9 +50,14 @@ class UNet(nn.Module):
     use_batch_norm: bool = True
     conv_type: str = "separable"  # 'separable' (reference) | 'full' (configs[2])
     dtype: Any = jnp.float32
-    bn_axis_name: Optional[str] = None
+    bn_axis_name: Optional[Any] = None  # str, or tuple incl. the spatial axis
     use_pallas: bool = False
     dropout_impl: str = "auto"  # 'auto' | 'hash' | 'rng' (see ModelConfig)
+    # Mesh axis carrying sharded image rows (set when the train step runs
+    # the fused chains inside shard_map on a ('data', 'spatial') mesh):
+    # every chain link exchanges 1-row z-space halos over ICI and
+    # bn_axis_name must include this axis so BN moments stay global.
+    spatial_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -120,8 +126,6 @@ class UNet(nn.Module):
             )
         )
         if hash_drop:
-            from unet_image_segmentation_tpu.ops import hash_dropout as hd
-
             _dkey = self.make_rng("dropout")
 
             def site_seed(site: int) -> jax.Array:
@@ -164,6 +168,15 @@ class UNet(nn.Module):
             p1 = b1(x, train, params_only=True, in_features=c0)
             p2 = b2(x, train, params_only=True, in_features=feats)
             chain_blocks = [(p[0], p[1], p[2], p[3]) for p in (p1, p2)]
+            if self.spatial_axis_name is not None and drop_rate > 0.0:
+                # spatial chains hoist dropout to the XLA level (the halo
+                # rows must be post-dropout values; the step folds the
+                # spatial axis index into the rng so shard masks
+                # decorrelate) — same per-element distribution
+                x = hd.hash_dropout(
+                    x, drop_seed, drop_rate, packed=in_packed or 1
+                )
+                drop_rate, drop_seed = 0.0, None
             if fuse_head and drop_rate == 0.0:
                 # Fused segmentation head: this (final) decoder stage, the
                 # 1x1-conv + sigmoid head, and the loss/metric reductions
@@ -197,6 +210,7 @@ class UNet(nn.Module):
                         eps=1e-3,
                         axis_name=self.bn_axis_name,
                         in_packed=in_packed,
+                        spatial_axis=self.spatial_axis_name,
                     )
                     assert out is not None, (
                         "fused_head_train disagreed with fused_head_feasible"
@@ -212,6 +226,7 @@ class UNet(nn.Module):
                 in_packed=in_packed,
                 drop_rate=drop_rate,
                 drop_seed=drop_seed,
+                spatial_axis=self.spatial_axis_name,
             )
             _update_bn(stats, (p1, p2))
             return z
@@ -251,6 +266,7 @@ class UNet(nn.Module):
                     in_packed=in_p,
                     eps=1e-3,
                     axis_name=self.bn_axis_name,
+                    spatial_axis=self.spatial_axis_name,
                 )
                 _update_bn(stats, (pp1, pp2))
                 skips.append((z_p, p_skip, (x.shape[0], h // (2**i), w_cur, f)))
@@ -485,7 +501,11 @@ class UNet(nn.Module):
         return preds
 
 
-def build_unet(cfg: ModelConfig, bn_axis_name: Optional[str] = None) -> UNet:
+def build_unet(
+    cfg: ModelConfig,
+    bn_axis_name: Optional[Any] = None,
+    spatial_axis_name: Optional[str] = None,
+) -> UNet:
     """Construct a :class:`UNet` from a :class:`..config.ModelConfig`."""
     return UNet(
         num_classes=cfg.num_classes,
@@ -497,6 +517,7 @@ def build_unet(cfg: ModelConfig, bn_axis_name: Optional[str] = None) -> UNet:
         bn_axis_name=bn_axis_name,
         use_pallas=cfg.use_pallas,
         dropout_impl=getattr(cfg, "dropout_impl", "auto"),
+        spatial_axis_name=spatial_axis_name,
     )
 
 

@@ -48,7 +48,7 @@ float32 oracle bit-for-bit in the CPU parity tests.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -487,9 +487,10 @@ def _head_mats(w_head, b_head, p, f, dtype):
     return wsel, bvec
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
 def _head_core(
-    n_blocks, eps, axis_name, in_p, z_in, t_exp, w_head, b_head, *flat_params
+    n_blocks, eps, axis_name, spatial, in_p,
+    z_in, t_exp, w_head, b_head, *flat_params,
 ):
     """Last decoder chain + 1x1-conv/sigmoid head + loss/metric sums.
 
@@ -502,21 +503,22 @@ def _head_core(
     semantics), like every training loss treats ground truth.
     """
     out, _ = _head_fwd(
-        n_blocks, eps, axis_name, in_p, z_in, t_exp, w_head, b_head,
-        *flat_params,
+        n_blocks, eps, axis_name, spatial, in_p, z_in, t_exp, w_head,
+        b_head, *flat_params,
     )
     return out
 
 
 def _head_fwd(
-    n_blocks, eps, axis_name, in_p, z_in, t_exp, w_head, b_head, *flat_params
+    n_blocks, eps, axis_name, spatial, in_p,
+    z_in, t_exp, w_head, b_head, *flat_params,
 ):
     outputs, residuals = ft._chain_fwd_impl(
-        n_blocks, eps, axis_name, None, in_p, 0.0, z_in, jnp.int32(0),
-        flat_params,
+        n_blocks, eps, axis_name, spatial, None, in_p, 0.0,
+        z_in, jnp.int32(0), flat_params,
     )
     _z_out, stats = outputs  # z_out unused -> XLA DCEs the boundary pass
-    _zf, ys, _st, _fp, _n, p, _seed = residuals
+    _zf, ys, _st, _fp, _n, p, _seed, _halos = residuals
     blocks = ft._unflatten_params(flat_params)
     _, pww_last, gamma, beta = blocks[-1]
     f_last = pww_last.shape[1]
@@ -529,9 +531,9 @@ def _head_fwd(
     return (panel, stats), (residuals, t_exp, w_head, b_head)
 
 
-def _head_bwd(n_blocks, eps, axis_name, in_p, saved, cotangents):
+def _head_bwd(n_blocks, eps, axis_name, spatial, in_p, saved, cotangents):
     residuals, t_exp, w_head, b_head = saved
-    z_first, ys, stats, flat_params, n, p, drop_seed = residuals
+    z_first, ys, stats, flat_params, n, p, drop_seed, halos = residuals
     g_panel, stats_cot = cotangents
     blocks = ft._unflatten_params(flat_params)
     _, pww_last, gamma, beta = blocks[-1]
@@ -572,7 +574,7 @@ def _head_bwd(n_blocks, eps, axis_name, in_p, saved, cotangents):
         n_blocks, eps, axis_name, in_p, 0.0,
         blocks, stats, stats_cot, ys, z_first, n, p, drop_seed,
         dzt, psum_if(S_loc), psum_if(T_loc), True,
-        S_loc=S_loc, T_loc=T_loc,
+        S_loc=S_loc, T_loc=T_loc, spatial=spatial, halos=halos,
     )
     # head param grads: LOCAL partials (the train step pmeans across the
     # mesh); dw[c] = sum_j dw_panel[j*F + c, j] folds the block-diagonal
@@ -651,8 +653,9 @@ def fused_head_train(
     bias: jax.Array,       # head Conv bias (1,)
     targets: jax.Array,    # (B, H, W[, 1]) binary mask
     eps: float = 1e-3,
-    axis_name: Optional[str] = None,
+    axis_name: Optional[Any] = None,
     in_packed: Optional[int] = None,
+    spatial_axis: Optional[str] = None,
 ):
     """Fused last-decoder-stage chain + segmentation head + loss sums.
 
@@ -689,7 +692,7 @@ def fused_head_train(
     flat = ft._flatten_params(prepped)
     t_exp = expand_targets(targets, p)
     panel, stats = _head_core(
-        len(prepped), eps, axis_name, in_p,
+        len(prepped), eps, axis_name, spatial_axis, in_p,
         z_in, t_exp, w_kernel.reshape(-1), bias.reshape(()), *flat,
     )
     sums = {

@@ -96,6 +96,7 @@ def _fwd_train_kernel(
     dwk_ref,      # (3, 3, pC) VMEM
     pww_ref,      # (pC, pF) VMEM
     seed_ref,     # (1, 1) SMEM int32: hash-dropout seed (0 when unused)
+    halo_ref,     # (1, 2, Wp, pC) VMEM z-space halo rows (dummy when unused)
     out_hbm,      # (B, H, Wp, pF) ANY
     sum_ref,      # (8, pF) VMEM accumulated (row 0)
     sq_ref,       # (8, pF) VMEM accumulated (row 0)
@@ -113,6 +114,7 @@ def _fwd_train_kernel(
     pack_p: int = 1,
     drop_thresh: int = 0,
     inv_keep: float = 1.0,
+    has_halo: bool = False,
 ):
     """Double-buffered sepconv forward with optional input affine+ReLU.
 
@@ -121,6 +123,14 @@ def _fwd_train_kernel(
     on the fly.  Virtual edge rows are re-zeroed AFTER the transform
     ('same' padding pads the POST-activation z with zeros, and
     ``relu(b) != 0`` in general).
+
+    With ``has_halo`` (spatially-sharded training: image rows sharded over
+    a mesh axis) the virtual rows are instead filled with the NEIGHBOUR
+    shard's boundary rows, pre-exchanged over ICI in z-space
+    (``halo_ref`` row 0 = above, row 1 = below; zeros at the true image
+    edge, which reproduces 'same' padding exactly).  Injecting them here
+    keeps the packed layout intact — no halo-augmented slab ever
+    materializes in HBM.
 
     With ``drop_thresh`` the loaded slab gets position-hash dropout
     (``ops/hash_dropout.py``) applied in VMEM: the mask is a pure function
@@ -206,14 +216,21 @@ def _fwd_train_kernel(
             )
             xbuf[slot] = jnp.maximum(z, 0.0).astype(xbuf.dtype)
 
-        # virtual rows AFTER the transform: padding is zero in z-space
+        # virtual rows AFTER the transform: padding is zero in z-space —
+        # or the neighbour shard's z-space halo row under spatial sharding
         @pl.when(j == 0)
         def _():
-            xbuf[slot, 0, :, :] = jnp.zeros((wp, pc), xbuf.dtype)
+            if has_halo:
+                xbuf[slot, 0, :, :] = halo_ref[0, 0]
+            else:
+                xbuf[slot, 0, :, :] = jnp.zeros((wp, pc), xbuf.dtype)
 
         @pl.when(j == n_tiles - 1)
         def _():
-            xbuf[slot, tile_h + 1, :, :] = jnp.zeros((wp, pc), xbuf.dtype)
+            if has_halo:
+                xbuf[slot, tile_h + 1, :, :] = halo_ref[0, 1]
+            else:
+                xbuf[slot, tile_h + 1, :, :] = jnp.zeros((wp, pc), xbuf.dtype)
 
     def out_copy(j, slot):
         return pltpu.make_async_copy(
@@ -297,6 +314,7 @@ def _fwd_train_packed(
     c: int,
     drop_rate: float = 0.0,
     drop_seed: Optional[jax.Array] = None,
+    halo: Optional[jax.Array] = None,   # (B, 2, Wp, pC) z-space halo rows
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """(y_packed, sum, sumsq); operands packed with a caller-chosen p."""
     b, h, wp, pc = xp.shape
@@ -304,7 +322,11 @@ def _fwd_train_packed(
     w = wp * p
     in_affine = in_scale is not None
     drop = drop_rate > 0.0
+    has_halo = halo is not None
     assert not (drop and in_affine), "dropout fuses on the chain input only"
+    assert not (drop and has_halo), (
+        "spatial chains hoist dropout outside the kernels"
+    )
     if p > 1:
         dwk_p = jnp.tile(dwk, (1, 1, p))
         pww_p = jnp.kron(jnp.eye(p, dtype=pww.dtype), pww)
@@ -340,7 +362,20 @@ def _fwd_train_packed(
         pack_p=p,
         drop_thresh=hd.keep_threshold(drop_rate) if drop else 0,
         inv_keep=1.0 / (1.0 - drop_rate) if drop else 1.0,
+        has_halo=has_halo,
     )
+    if has_halo:
+        halo_arr = halo.astype(xp.dtype)
+        halo_spec = pl.BlockSpec(
+            (1, 2, wp, pc), lambda bi: (bi, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:  # dummy: the kernel never reads it (has_halo is trace-static)
+        halo_arr = jnp.zeros((1, 2, 1, 1), xp.dtype)
+        halo_spec = pl.BlockSpec(
+            (1, 2, 1, 1), lambda bi: (0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
     y_p, s_p, q_p = pl.pallas_call(
         kernel,
         grid=(b,),
@@ -350,6 +385,7 @@ def _fwd_train_packed(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            halo_spec,
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
@@ -376,7 +412,7 @@ def _fwd_train_packed(
         ),
         compiler_params=fs.vmem_params(),
         interpret=_use_interpret(),
-    )(xp, aff, dwk_p, pww_p, seed_arr)
+    )(xp, aff, dwk_p, pww_p, seed_arr, halo_arr)
     s = s_p[0].reshape(p, f).sum(axis=0)
     q = q_p[0].reshape(p, f).sum(axis=0)
     return y_p, s, q
@@ -390,6 +426,7 @@ def _fwd_train_pallas(
     in_shift: Optional[jax.Array],  # (C,) or None
     drop_rate: float = 0.0,
     drop_seed: Optional[jax.Array] = None,
+    halo: Optional[jax.Array] = None,   # (B, 2, W, C) z-space, unpacked
 ) -> Optional[Tuple[jax.Array, jax.Array, jax.Array]]:
     """(y, sum, sumsq) with optional fused input affine+ReLU; None = no fit."""
     b, h, w, c = x.shape
@@ -398,9 +435,10 @@ def _fwd_train_pallas(
     if p is None:
         return None
     xp = x.reshape(b, h, w // p, p * c)
+    halo_p = halo.reshape(b, 2, w // p, p * c) if halo is not None else None
     y_p, s, q = _fwd_train_packed(
         xp, dwk, pww, in_scale, in_shift, p, c,
-        drop_rate=drop_rate, drop_seed=drop_seed,
+        drop_rate=drop_rate, drop_seed=drop_seed, halo=halo_p,
     )
     return y_p.reshape(b, h, w, f), s, q
 
@@ -1748,6 +1786,77 @@ def chain_reference(
     return z, stats
 
 
+# ---------------------------------------------------------------------------
+# Spatial sharding (rows on a mesh axis): halo plumbing around the kernels.
+#
+# The TPU-native scaling of the capability the reference caps by host-
+# resizing everything to 256px (reference scripts/train.py:84-88, SURVEY §5
+# "long-context analog"): inside shard_map with image rows sharded over
+# 'spatial', every chain link exchanges ONE z-space boundary row per side
+# with its mesh neighbours over ICI (ppermute) and the forward kernels
+# inject it in place of their zero-filled virtual row — exact 'same'-conv
+# semantics with zero extra HBM traffic.  The backward reconstructs each
+# link's boundary gy row at the JAX level (2 rows, negligible), derives the
+# cross-shard gradient d_halo + the halo corrections to the weight grads
+# via jax.vjp of :func:`_halo_row_contrib`, and routes d_halo with the
+# reverse ppermute.  BN batch moments are global by construction: the
+# kernels' sums cover exactly the shard's OWN rows and ``axis_name`` may be
+# a tuple like ('data', 'spatial'), so the existing psums produce the
+# global-batch moments.
+# ---------------------------------------------------------------------------
+
+
+def _edge_halo_exchange(top_row, bot_row, spatial):
+    """Exchange shard boundary rows over the ``spatial`` mesh axis.
+
+    ``top_row``/``bot_row``: this shard's OWN first/last row
+    ``(B, 1, Wp, pC)`` in the conv-input (z) space.  Returns
+    ``(B, 2, Wp, pC)``: row 0 = the halo ABOVE the shard (upper
+    neighbour's bottom row), row 1 = the halo BELOW.  ppermute zero-fills
+    shards with no source, which at the global image edge IS the 'same'
+    zero padding."""
+    n = jax.lax.axis_size(spatial)
+    down = [(i, i + 1) for i in range(n - 1)]
+    up = [(i + 1, i) for i in range(n - 1)]
+    htop = jax.lax.ppermute(bot_row, spatial, down)
+    hbot = jax.lax.ppermute(top_row, spatial, up)
+    return jnp.concatenate([htop, hbot], axis=1)
+
+
+def _unpack_row(row: jax.Array, p: int) -> jax.Array:
+    """Packed (B, n, Wp, pC) rows -> logical (B, n, W, C) (pure reshape)."""
+    if p <= 1:
+        return row
+    b, nr, wp, pc = row.shape
+    return row.reshape(b, nr, wp * p, pc // p)
+
+
+def _repack_row(row: jax.Array, p: int) -> jax.Array:
+    if p <= 1:
+        return row
+    b, nr, w, c = row.shape
+    return row.reshape(b, nr, w // p, p * c)
+
+
+def _halo_row_contrib(h_row: jax.Array, ktap: jax.Array, pww: jax.Array):
+    """Contribution of one out-of-shard (halo) row to the adjacent output
+    row of a 'same' 3x3 separable conv: the halo row correlated with one
+    H-tap triple of the depthwise kernel, then the pointwise matmul.
+
+    ``h_row``: (B, 1, W, C) f32 (``dwk[0]`` pairs with the TOP halo,
+    ``dwk[2]`` with the BOTTOM); differentiated under ``jax.vjp`` in
+    :func:`_chain_bwd_links` to produce d_halo (the cross-shard gradient)
+    and the halo corrections to the depthwise/pointwise weight grads the
+    kernels computed with zero virtual rows."""
+    z = jnp.zeros_like(h_row[:, :, :1])
+    prev = jnp.concatenate([z, h_row[:, :, :-1]], axis=2)   # value at w-1
+    nxt = jnp.concatenate([h_row[:, :, 1:], z], axis=2)     # value at w+1
+    m = prev * ktap[0] + h_row * ktap[1] + nxt * ktap[2]
+    return jnp.einsum(
+        "bhwc,cf->bhwf", m, pww, preferred_element_type=jnp.float32
+    )
+
+
 def _flatten_params(blocks):
     out = []
     for blk in blocks:
@@ -1761,9 +1870,9 @@ def _unflatten_params(flat):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
 def _chain_core(
-    n_blocks, eps, axis_name, pool_p2, in_p, drop_rate,
+    n_blocks, eps, axis_name, spatial, pool_p2, in_p, drop_rate,
     z_in, drop_seed, *flat_params,
 ):
     """Returns (z_out, ((mean, var), ...) per block); with ``pool_p2``
@@ -1772,9 +1881,11 @@ def _chain_core(
     position-hash dropout (``ops/hash_dropout.py``) to the CHAIN INPUT
     inside the first block's kernels (forward applies the mask in VMEM
     right after the slab DMA; backward regenerates it bit-identically
-    from absolute coordinates + ``drop_seed``)."""
+    from absolute coordinates + ``drop_seed``).  ``spatial``: mesh axis
+    name carrying sharded image rows — every link exchanges 1-row z-space
+    halos with its neighbours (see the spatial-sharding section above)."""
     outputs, _ = _chain_fwd_impl(
-        n_blocks, eps, axis_name, pool_p2, in_p, drop_rate,
+        n_blocks, eps, axis_name, spatial, pool_p2, in_p, drop_rate,
         z_in, drop_seed, flat_params,
     )
     return outputs
@@ -1788,7 +1899,7 @@ def _chain_channels(z_in, blocks):
 
 
 def _chain_fwd_impl(
-    n_blocks, eps, axis_name, pool_p2, in_p, drop_rate,
+    n_blocks, eps, axis_name, spatial, pool_p2, in_p, drop_rate,
     z_in, drop_seed, flat_params,
 ):
     """Returns ((z_out[, pooled], mean/var per block), residuals).
@@ -1831,13 +1942,38 @@ def _chain_fwd_impl(
         jax.lax.psum(1, axis_name) if axis_name is not None else 1
     )
 
+    assert not (spatial is not None and drop_rate > 0.0), (
+        "spatial chains hoist dropout outside the kernels "
+        "(models/unet.py applies it at the XLA level)"
+    )
     z_or_y = z_first       # raw input (z-space) for the first block
     in_aff = None          # (a, b) pending affine for the next conv
     ys = []                # raw outputs per block (packed iff p > 1)
     stats = []             # (mean, var) per block
+    halos = []             # per link: (B, 2, Wp, pC) z-space, or None
     for bk, (dwk, pww, gamma, beta) in enumerate(blocks):
         c = dwk.shape[2]
         dr = drop_rate if bk == 0 else 0.0   # dropout = chain input only
+        if spatial is not None:
+            # this link's conv input in z-space at the shard boundary:
+            # link 0 consumes z_first directly; later links derive it
+            # from the previous raw output + its pending affine (2 rows)
+            if bk == 0:
+                top, bot = z_or_y[:, :1], z_or_y[:, -1:]
+            else:
+                a_t = jnp.tile(in_aff[0], p) if p > 1 else in_aff[0]
+                b_t = jnp.tile(in_aff[1], p) if p > 1 else in_aff[1]
+
+                def _zrow(r):
+                    return jnp.maximum(
+                        r.astype(jnp.float32) * a_t + b_t, 0.0
+                    ).astype(z_or_y.dtype)
+
+                top, bot = _zrow(z_or_y[:, :1]), _zrow(z_or_y[:, -1:])
+            halo = _edge_halo_exchange(top, bot, spatial)
+        else:
+            halo = None
+        halos.append(halo)
         if p > 1:
             y, s, q = _fwd_train_packed(
                 z_or_y,
@@ -1849,6 +1985,7 @@ def _chain_fwd_impl(
                 c,
                 drop_rate=dr,
                 drop_seed=drop_seed if dr else None,
+                halo=halo,
             )
         else:
             fused = _fwd_train_pallas(
@@ -1859,6 +1996,7 @@ def _chain_fwd_impl(
                 in_aff[1] if in_aff is not None else None,
                 drop_rate=dr,
                 drop_seed=drop_seed if dr else None,
+                halo=halo,
             )
             if fused is None:
                 _warn_fallback(
@@ -1874,7 +2012,17 @@ def _chain_fwd_impl(
                         z_or_y.astype(jnp.float32) * in_aff[0] + in_aff[1],
                         0.0,
                     ).astype(z_or_y.dtype)
-                y = _sepconv_raw(z, dwk, pww)
+                if halo is not None:
+                    # halo-augmented slab: the aug's own 'same' padding
+                    # only corrupts the two rows sliced away
+                    z_aug = jnp.concatenate(
+                        [halo[:, :1].astype(z.dtype), z,
+                         halo[:, 1:].astype(z.dtype)],
+                        axis=1,
+                    )
+                    y = _sepconv_raw(z_aug, dwk, pww)[:, 1:-1]
+                else:
+                    y = _sepconv_raw(z, dwk, pww)
                 yf = y.astype(jnp.float32)
                 s = jnp.sum(yf, axis=(0, 1, 2))
                 q = jnp.sum(yf * yf, axis=(0, 1, 2))
@@ -1950,25 +2098,29 @@ def _chain_fwd_impl(
         if p > 1:
             z_out = z_out.reshape(b, h, w, f_last)
         outputs = (z_out, tuple(stats))
-    residuals = (z_first, tuple(ys), tuple(stats), flat_params, n, p, drop_seed)
+    residuals = (
+        z_first, tuple(ys), tuple(stats), flat_params, n, p, drop_seed,
+        tuple(halos),
+    )
     return outputs, residuals
 
 
 def _chain_fwd(
-    n_blocks, eps, axis_name, pool_p2, in_p, drop_rate,
+    n_blocks, eps, axis_name, spatial, pool_p2, in_p, drop_rate,
     z_in, drop_seed, *flat_params,
 ):
     outputs, residuals = _chain_fwd_impl(
-        n_blocks, eps, axis_name, pool_p2, in_p, drop_rate,
+        n_blocks, eps, axis_name, spatial, pool_p2, in_p, drop_rate,
         z_in, drop_seed, flat_params,
     )
     return outputs, residuals
 
 
 def _chain_bwd(
-    n_blocks, eps, axis_name, pool_p2, in_p, drop_rate, residuals, cotangents
+    n_blocks, eps, axis_name, spatial, pool_p2, in_p, drop_rate,
+    residuals, cotangents,
 ):
-    z_first, ys, stats, flat_params, n, p, drop_seed = residuals
+    z_first, ys, stats, flat_params, n, p, drop_seed, halos = residuals
     if pool_p2:
         g_zout, g_pool, stats_cot = cotangents
     else:
@@ -2088,7 +2240,7 @@ def _chain_bwd(
         n_blocks, eps, axis_name, in_p, drop_rate,
         blocks, stats, stats_cot, ys, z_first, n, p, drop_seed,
         g_raw, psum_if(S_loc), psum_if(T_loc), g_is_masked,
-        S_loc=S_loc, T_loc=T_loc,
+        S_loc=S_loc, T_loc=T_loc, spatial=spatial, halos=halos,
     )
 
 
@@ -2096,6 +2248,7 @@ def _chain_bwd_links(
     n_blocks, eps, axis_name, in_p, drop_rate,
     blocks, stats, stats_cot, ys, z_first, n, p, drop_seed,
     g_raw, S, T, g_is_masked, S_loc=None, T_loc=None,
+    spatial=None, halos=None,
 ):
     """Backward through the chain's links given the boundary gradient.
 
@@ -2193,6 +2346,7 @@ def _chain_bwd_links(
                 drop_rate=dr,
                 drop_seed=drop_seed if dr else None,
             )
+        d_halo = None   # (d_htop, d_hbot) f32 (B, 1, W, C) when spatial
         if fused is None:
             # composed-XLA fallback for this link (identical math)
             _warn_fallback(
@@ -2219,19 +2373,34 @@ def _chain_bwd_links(
             else:
                 zf = x_in
 
-            _, vjp = jax.vjp(_sepconv_raw, zf, dwk, pww)
-            dz, ddw, dpw = vjp(gy)
+            if spatial is not None:
+                # mirror the forward's halo-augmented slab so ddw/dpw and
+                # the cross-shard d_halo all come from one vjp
+                ht = halos[k][:, :1].astype(zf.dtype)
+                hb = halos[k][:, 1:].astype(zf.dtype)
+
+                def _aug(z_, ht_, hb_, dwk_, pww_):
+                    return _sepconv_raw(
+                        jnp.concatenate([ht_, z_, hb_], axis=1), dwk_, pww_
+                    )[:, 1:-1]
+
+                _, vjp = jax.vjp(_aug, zf, ht, hb, dwk, pww)
+                dz, d_ht, d_hb, ddw, dpw = vjp(gy)
+                d_halo = (
+                    d_ht.astype(jnp.float32), d_hb.astype(jnp.float32)
+                )
+            else:
+                _, vjp = jax.vjp(_sepconv_raw, zf, dwk, pww)
+                dz, ddw, dpw = vjp(gy)
             if in_aff is not None:
                 w_in = x_in.astype(jnp.float32) * in_aff[0] + in_aff[1]
                 dzt_prev = jnp.where(w_in > 0, dz.astype(jnp.float32), 0.0)
                 xhat = (x_in.astype(jnp.float32) - in_aff[2]) * in_aff[3]
                 S_prev_loc = jnp.sum(dzt_prev, axis=(0, 1, 2))
                 T_prev_loc = jnp.sum(dzt_prev * xhat, axis=(0, 1, 2))
-                S_prev = psum_if(S_prev_loc)
-                T_prev = psum_if(T_prev_loc)
                 dx = dzt_prev.astype(x_in.dtype)
             else:
-                S_prev = T_prev = S_prev_loc = T_prev_loc = None
+                S_prev_loc = T_prev_loc = None
                 if dr:
                     dx = hd.apply_keep(dz, keep, 1.0 / (1.0 - dr)).astype(
                         x_in.dtype
@@ -2242,10 +2411,71 @@ def _chain_bwd_links(
             dx, ddw, dpw, st = fused
             if in_aff is not None:
                 S_prev_loc, T_prev_loc = st[0], st[1]
-                S_prev = psum_if(S_prev_loc)
-                T_prev = psum_if(T_prev_loc)
             else:
-                S_prev = T_prev = S_prev_loc = T_prev_loc = None
+                S_prev_loc = T_prev_loc = None
+
+        if spatial is not None:
+            # --- cross-shard gradient flow for this link's halos ---
+            if d_halo is None:
+                # kernel path: rebuild gy at the two boundary rows (the
+                # kernel never materializes gy) and vjp the halo taps
+                gt = _unpack_row(g_raw[:, :1], p).astype(jnp.float32)
+                gb = _unpack_row(g_raw[:, -1:], p).astype(jnp.float32)
+                yt = _unpack_row(ys[k][:, :1], p).astype(jnp.float32)
+                yb = _unpack_row(ys[k][:, -1:], p).astype(jnp.float32)
+                if not g_is_masked:
+                    gt = jnp.where(yt * a_out + b_out > 0, gt, 0.0)
+                    gb = jnp.where(yb * a_out + b_out > 0, gb, 0.0)
+                gy_t = gt * A + B + (yt - mean) * C
+                gy_b = gb * A + B + (yb - mean) * C
+                h_t = _unpack_row(halos[k][:, :1], p).astype(jnp.float32)
+                h_b = _unpack_row(halos[k][:, 1:], p).astype(jnp.float32)
+                dwk_f = dwk.astype(jnp.float32)
+                pww_f = pww.astype(jnp.float32)
+                _, vjp_t = jax.vjp(_halo_row_contrib, h_t, dwk_f[0], pww_f)
+                d_ht, ddw_t, dpw_t = vjp_t(gy_t)
+                _, vjp_b = jax.vjp(_halo_row_contrib, h_b, dwk_f[2], pww_f)
+                d_hb, ddw_b, dpw_b = vjp_b(gy_b)
+                # the kernels computed ddw/dpw with zero virtual rows —
+                # add the halo rows' missing weight-grad terms
+                ddw = ddw.at[0].add(ddw_t).at[2].add(ddw_b)
+                dpw = dpw + dpw_t + dpw_b
+                d_halo = (d_ht, d_hb)
+            n_sp = jax.lax.axis_size(spatial)
+            up = [(i + 1, i) for i in range(n_sp - 1)]
+            down = [(i, i + 1) for i in range(n_sp - 1)]
+            # d_htop is the cotangent of the UPPER neighbour's last row;
+            # d_hbot of the LOWER neighbour's first row (z-space, unmasked)
+            recv_bot = jax.lax.ppermute(d_halo[0], spatial, up)
+            recv_top = jax.lax.ppermute(d_halo[1], spatial, down)
+            if in_aff is not None:
+                # the dx stream carries MASKED dz~ — mask the incoming
+                # z-space cotangent with this shard's own boundary masks
+                # and fold it into the local BN-backward reductions
+                xt = _unpack_row(x_in[:, :1], p).astype(jnp.float32)
+                xb = _unpack_row(x_in[:, -1:], p).astype(jnp.float32)
+                w_t = xt * in_aff[0] + in_aff[1]
+                w_b = xb * in_aff[0] + in_aff[1]
+                add_t = jnp.where(w_t > 0, recv_top, 0.0)
+                add_b = jnp.where(w_b > 0, recv_bot, 0.0)
+                S_prev_loc = S_prev_loc + jnp.sum(
+                    add_t, axis=(0, 1, 2)
+                ) + jnp.sum(add_b, axis=(0, 1, 2))
+                xhat_t = (xt - in_aff[2]) * in_aff[3]
+                xhat_b = (xb - in_aff[2]) * in_aff[3]
+                T_prev_loc = T_prev_loc + jnp.sum(
+                    add_t * xhat_t, axis=(0, 1, 2)
+                ) + jnp.sum(add_b * xhat_b, axis=(0, 1, 2))
+            else:
+                add_t, add_b = recv_top, recv_bot
+            dx = dx.at[:, :1].add(_repack_row(add_t, p).astype(dx.dtype))
+            dx = dx.at[:, -1:].add(_repack_row(add_b, p).astype(dx.dtype))
+
+        if S_prev_loc is not None:
+            S_prev = psum_if(S_prev_loc)
+            T_prev = psum_if(T_prev_loc)
+        else:
+            S_prev = T_prev = None
         grads_per_block[k] = (
             ddw.astype(dwk.dtype),
             dpw.astype(pww.dtype),
@@ -2326,10 +2556,11 @@ def fused_chain_train(
     z_in: jax.Array,
     blocks: Sequence[Tuple[jax.Array, jax.Array, jax.Array, jax.Array]],
     eps: float = 1e-3,
-    axis_name: Optional[str] = None,
+    axis_name: Optional[Any] = None,
     in_packed: Optional[int] = None,
     drop_rate: float = 0.0,
     drop_seed: Optional[jax.Array] = None,
+    spatial_axis: Optional[str] = None,
 ):
     """Train-mode ConvBlock chain: z_in -> [sepconv -> BN -> ReLU] x N.
 
@@ -2346,7 +2577,12 @@ def fused_chain_train(
     block's kernels (the reference's decoder-concat Dropout,
     model/u_net.py:96-99); the mask is the pure coordinate hash of
     ``ops/hash_dropout.py``, so :func:`chain_reference` with the same
-    seed reproduces it EXACTLY.  Rebuilds the reference conv_block chain
+    seed reproduces it EXACTLY.  ``spatial_axis``: mesh axis name with
+    image rows sharded across it (inside shard_map) — the chain exchanges
+    1-row z-space halos per link over ICI, and ``axis_name`` should
+    include the spatial axis (e.g. ``('data', 'spatial')``) so BN batch
+    moments stay global; requires ``drop_rate == 0`` (the caller hoists
+    dropout outside the chain).  Rebuilds the reference conv_block chain
     semantics (reference model/u_net.py:5-26, Keras BN eps 1e-3, biased
     variance).
     """
@@ -2375,8 +2611,8 @@ def fused_chain_train(
         drop_seed if drop_seed is not None else 0, jnp.int32
     )
     return _chain_core(
-        len(prepped), eps, axis_name, None, in_p, float(drop_rate),
-        z_in, seed, *flat,
+        len(prepped), eps, axis_name, spatial_axis, None, in_p,
+        float(drop_rate), z_in, seed, *flat,
     )
 
 
@@ -2391,7 +2627,8 @@ def fused_chain_train_pool(
     pool_to_pack: int,
     in_packed: "Optional[int]" = None,
     eps: float = 1e-3,
-    axis_name: Optional[str] = None,
+    axis_name: Optional[Any] = None,
+    spatial_axis: Optional[str] = None,
 ):
     """Encoder variant of :func:`fused_chain_train` with the 2x2 max pool
     fused into the chain boundary.
@@ -2416,8 +2653,8 @@ def fused_chain_train_pool(
     prepped = _prep_blocks(z_in.dtype, c0, blocks)
     flat = _flatten_params(prepped)
     z_p, pooled, stats = _chain_core(
-        len(prepped), eps, axis_name, int(pool_to_pack), in_p, 0.0,
-        z_in, jnp.int32(0), *flat,
+        len(prepped), eps, axis_name, spatial_axis, int(pool_to_pack),
+        in_p, 0.0, z_in, jnp.int32(0), *flat,
     )
     p = _chain_common_pack(
         [c0] + [blk[1].shape[-1] for blk in prepped], w

@@ -61,14 +61,21 @@ def _prep_masks(masks: jax.Array, num_classes: int) -> jax.Array:
     return jax.nn.one_hot(labels.astype(jnp.int32), num_classes, dtype=jnp.float32)
 
 
-def _metric_bundle_sums(sums: Metrics, masks: jax.Array) -> Metrics:
+def _metric_bundle_sums(
+    sums: Metrics, masks: jax.Array, npix_scale: int = 1
+) -> Metrics:
     """The binary metric bundle computed from the fused head's per-sample
     reductions — same values as :func:`_metric_bundle` on materialized
     probabilities (TP = intersection count, FP = P - I, FN = T - I,
-    TN = pixels - TP - FP - FN), without re-reading the activation."""
+    TN = pixels - TP - FP - FN), without re-reading the activation.
+    ``npix_scale``: with image rows sharded over a spatial mesh axis the
+    local ``masks`` shard holds 1/n of each sample's pixels while ``sums``
+    are already spatial-global — scale the pixel count back up."""
     s = SMOOTH
     dice = jnp.mean((2.0 * sums["i"] + s) / (sums["t"] + sums["p"] + s))
-    npix = jnp.float32(masks.shape[0] * masks.shape[1] * masks.shape[2])
+    npix = jnp.float32(
+        masks.shape[0] * masks.shape[1] * masks.shape[2] * npix_scale
+    )
 
     def cm(ik: str, pk: str, tk: str) -> jax.Array:
         i = jnp.sum(sums[ik])
@@ -132,19 +139,40 @@ def make_train_step(
     loss_fn_core = get_loss(loss_name)
     has_bn = model.use_batch_norm
     needs_dropout = model.dropout_rate > 0.0
+    spatial = mesh is not None and mesh.shape.get("spatial", 1) > 1
     axis = model.bn_axis_name if mesh is not None else None
     if mesh is not None and model.bn_axis_name is None:
         raise ValueError(
             "shard_map train step needs the model built with "
             "bn_axis_name='data' (BatchNorm moments must psum over shards)"
         )
+    if spatial:
+        # rows sharded over 'spatial': per-sample loss/metric sums are
+        # partial per shard and MUST be psum'd before any nonlinear use
+        # (dice is a ratio of sums), so the spatial step requires the
+        # sums-form contract
+        if model.num_classes != 1 or loss_name not in SUMS_LOSSES:
+            raise ValueError(
+                "the spatially-sharded fused train step needs "
+                f"num_classes == 1 and a sums-form loss (got "
+                f"num_classes={model.num_classes}, loss={loss_name!r})"
+            )
+        if model.spatial_axis_name != "spatial" or not (
+            isinstance(axis, (tuple, list)) and "spatial" in tuple(axis)
+        ):
+            raise ValueError(
+                "spatial step needs the model built with "
+                "spatial_axis_name='spatial' and bn_axis_name "
+                "('data', 'spatial')"
+            )
+    n_spatial = mesh.shape.get("spatial", 1) if mesh is not None else 1
     # Fused segmentation head: for the dice-family losses on a binary
     # Pallas model, the model returns the loss/metric SUMS directly (the
     # last decoder stage + head + reductions are one kernel pair and the
     # probability tensor never reaches HBM — ops/pallas/fused_head.py);
     # loss and the metric bundle come from the sums.  Numerics match the
     # composed path to reduction order (pinned in tests/test_fused_head.py).
-    use_head_sums = (
+    use_head_sums = spatial or (
         model.use_pallas
         and model.use_batch_norm
         and model.num_classes == 1
@@ -158,7 +186,11 @@ def make_train_step(
         dropout_rng = jax.random.fold_in(state.rng, state.step)
         if axis is not None:
             dropout_rng = jax.random.fold_in(
-                dropout_rng, jax.lax.axis_index(axis)
+                dropout_rng, jax.lax.axis_index("data")
+            )
+        if spatial:
+            dropout_rng = jax.random.fold_in(
+                dropout_rng, jax.lax.axis_index("spatial")
             )
 
         def loss_fn(params):
@@ -179,6 +211,13 @@ def make_train_step(
                 )
                 new_stats = state.batch_stats
             if use_head_sums:
+                if spatial:
+                    # per-sample sums are partial per row shard — global
+                    # sums before the (nonlinear) loss ratio
+                    out = {
+                        k: jax.lax.psum(v, "spatial")
+                        for k, v in out.items()
+                    }
                 loss = loss_from_sums(loss_name, out)
             else:
                 loss = loss_fn_core(_prep_masks(masks, model.num_classes), out)
@@ -187,7 +226,14 @@ def make_train_step(
         (loss, (out, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
-        if axis is not None:
+        if spatial:
+            # each device holds a (batch-shard x row-shard) tile: the row
+            # shards' partial param grads SUM to the batch shard's grad,
+            # equal batch shards pmean to the global-batch grad
+            grads = jax.lax.psum(grads, "spatial")
+            grads = jax.lax.pmean(grads, "data")
+            loss = jax.lax.pmean(loss, ("data", "spatial"))
+        elif axis is not None:
             # global-batch gradient: mean of equal-shard means == global
             # mean, so pmean reproduces the GSPMD/single-device numerics
             grads = jax.lax.pmean(grads, axis)
@@ -203,22 +249,27 @@ def make_train_step(
             opt_state=new_opt_state,
         )
         bundle = (
-            _metric_bundle_sums(out, masks)
+            _metric_bundle_sums(out, masks, npix_scale=n_spatial)
             if use_head_sums
             else _metric_bundle(masks, out, model.num_classes)
         )
         metrics = {"loss": loss, **bundle}
-        if axis is not None:
+        if spatial:
+            # sums (hence cm/dice) are already spatial-global and equal
+            # across 'spatial' members — reduce over 'data' only
+            metrics = _reduce_metrics(metrics, "data")
+        elif axis is not None:
             metrics = _reduce_metrics(metrics, axis)
         return new_state, metrics
 
     donate_argnums = (0,) if donate else ()
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=donate_argnums)
+    batch_spec = P("data", "spatial") if spatial else P("data")
     smapped = jax.shard_map(
         step_fn,
         mesh=mesh,
-        in_specs=(P(), P("data"), P("data")),
+        in_specs=(P(), batch_spec, batch_spec),
         out_specs=(P(), P()),
         check_vma=False,  # pallas_call has no replication rule
     )
@@ -241,7 +292,10 @@ def make_eval_step(
         variables = {"params": state.params}
         if has_bn:
             variables["batch_stats"] = state.batch_stats
-        preds = state.apply_fn(variables, images, train=False)
+        # model.apply, NOT state.apply_fn: the eval model may differ from
+        # the train model (e.g. the spatial fused path evaluates through
+        # the XLA module under GSPMD, which inserts conv halos itself)
+        preds = model.apply(variables, images, train=False)
         loss = loss_fn_core(_prep_masks(masks, model.num_classes), preds)
         metrics = {"loss": loss, **_metric_bundle(masks, preds, model.num_classes)}
         if axis is not None:
