@@ -150,14 +150,186 @@ def test_fused_head_bf16_rounding_point(rng_np):
         )
 
 
-def test_multiclass_head_returns_none(rng_np):
-    """num_classes > 1 is out of the fused head's contract."""
+def test_many_class_head_returns_none(rng_np):
+    """num_classes > MAX_MC_CLASSES is out of the fused head's contract
+    (the multiclass panel holds 3C + 1 + C^2 <= 32 rows)."""
     blocks = _chain_fixture(rng_np, 16, 32)
-    w_head = jnp.asarray(np.zeros((1, 1, 32, 3), np.float32))
-    b_head = jnp.asarray(np.zeros(3, np.float32))
+    nc = fh.MAX_MC_CLASSES + 1
+    w_head = jnp.asarray(np.zeros((1, 1, 32, nc), np.float32))
+    b_head = jnp.asarray(np.zeros(nc, np.float32))
     x = jnp.asarray(rng_np.rand(1, 8, 32, 16).astype(np.float32))
-    t = jnp.asarray((rng_np.rand(1, 8, 32, 1) > 0.5).astype(np.float32))
+    t = jnp.asarray(
+        rng_np.randint(0, nc, size=(1, 8, 32, 1)).astype(np.float32)
+    )
     assert fh.fused_head_train(x, blocks, w_head, b_head, t) is None
+
+
+# ---------------------------------------------------------------------------
+# Multiclass (softmax + CCE + argmax CM) head
+# ---------------------------------------------------------------------------
+
+
+def _oracle_sums_mc(x, t, blocks, w_head, b_head, nc):
+    """Composed XLA: chain_reference -> 1x1 conv -> softmax -> reductions."""
+    z, stats = ft.chain_reference(
+        x,
+        [
+            (d.reshape(3, 3, -1), p.reshape(p.shape[-2], p.shape[-1]), g, b)
+            for (d, p, g, b) in blocks
+        ],
+    )
+    logits = conv_ops.pointwise_conv2d(z, w_head, b_head).astype(jnp.float32)
+    preds = jax.nn.softmax(logits, axis=-1)
+    return fh.head_sums_reference_mc(preds, t, nc), stats
+
+
+MC_KEYS = ("i", "p", "t", "cce", "cm")
+
+
+def test_fused_head_multiclass_matches_oracle_and_grads(rng_np):
+    """Softmax head (3 classes): the fused kernel pair reproduces the
+    composed per-class dice sums, the clipped CCE sum, the argmax
+    confusion matrix, the BN stats and every gradient of the CCE loss."""
+    B, H, W, C0, F, NC = 2, 16, 64, 32, 64, 3  # w=64 -> p=2
+    blocks = _chain_fixture(rng_np, C0, F)
+    w_head = jnp.asarray((rng_np.randn(1, 1, F, NC) * 0.2).astype(np.float32))
+    b_head = jnp.asarray(rng_np.randn(NC).astype(np.float32))
+    x = jnp.asarray(rng_np.rand(B, H, W, C0).astype(np.float32))
+    t = jnp.asarray(
+        rng_np.randint(0, NC, size=(B, H, W, 1)).astype(np.float32)
+    )
+
+    def loss_oracle(params):
+        blks, wh, bh = params
+        sums, stats = _oracle_sums_mc(x, t, blks, wh, bh, NC)
+        return loss_from_sums("cce", sums), (sums, stats)
+
+    def loss_fused(params):
+        blks, wh, bh = params
+        out = fh.fused_head_train(x, blks, wh, bh, t)
+        assert out is not None, "multiclass fused head should be feasible"
+        sums, stats = out
+        return loss_from_sums("cce", sums), (sums, stats)
+
+    params = (blocks, w_head, b_head)
+    (l1, (s1, st1)), g1 = jax.value_and_grad(loss_oracle, has_aux=True)(params)
+    (l2, (s2, st2)), g2 = jax.value_and_grad(loss_fused, has_aux=True)(params)
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for k in MC_KEYS:
+        np.testing.assert_allclose(
+            np.asarray(s1[k]), np.asarray(s2[k]), rtol=1e-5, atol=1e-4,
+            err_msg=k,
+        )
+    # CM counts are integers — exact
+    np.testing.assert_array_equal(np.asarray(s1["cm"]), np.asarray(s2["cm"]))
+    for (m1, v1), (m2, v2) in zip(st1, st2):
+        np.testing.assert_allclose(
+            np.asarray(m1), np.asarray(m2), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(v1), np.asarray(v2), rtol=1e-3, atol=1e-5
+        )
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        scale = max(float(np.max(np.abs(np.asarray(b)))), 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5 * scale
+        )
+
+
+def test_fused_head_multiclass_dice_loss(rng_np):
+    """The dice family also rides the multiclass sums (per-class (B, C)
+    coefficients, mean over batch x classes), including its gradients."""
+    B, H, W, C0, F, NC = 1, 8, 32, 16, 32, 4  # p = 4, C = MAX
+    blocks = _chain_fixture(rng_np, C0, F)
+    w_head = jnp.asarray((rng_np.randn(1, 1, F, NC) * 0.2).astype(np.float32))
+    b_head = jnp.asarray(rng_np.randn(NC).astype(np.float32))
+    x = jnp.asarray(rng_np.rand(B, H, W, C0).astype(np.float32))
+    t = jnp.asarray(
+        rng_np.randint(0, NC, size=(B, H, W, 1)).astype(np.float32)
+    )
+
+    def loss_oracle(params):
+        blks, wh, bh = params
+        sums, _ = _oracle_sums_mc(x, t, blks, wh, bh, NC)
+        return loss_from_sums("dice", sums)
+
+    def loss_fused(params):
+        blks, wh, bh = params
+        out = fh.fused_head_train(x, blks, wh, bh, t)
+        assert out is not None
+        sums, _ = out
+        return loss_from_sums("dice", sums)
+
+    params = (blocks, w_head, b_head)
+    l1, g1 = jax.value_and_grad(loss_oracle)(params)
+    l2, g2 = jax.value_and_grad(loss_fused)(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        scale = max(float(np.max(np.abs(np.asarray(b)))), 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5 * scale
+        )
+
+
+def test_multiclass_cce_from_sums_matches_composed_loss(rng_np):
+    """loss_from_sums('cce', ...) == categorical_ce_loss on one-hot
+    targets (pixel-mean Keras semantics)."""
+    from unet_image_segmentation_tpu.ops.losses import categorical_ce_loss
+
+    NC = 3
+    logits = jnp.asarray(rng_np.randn(2, 8, 8, NC).astype(np.float32))
+    preds = jax.nn.softmax(logits, axis=-1)
+    tid = jnp.asarray(
+        rng_np.randint(0, NC, size=(2, 8, 8, 1)).astype(np.float32)
+    )
+    one_hot = jax.nn.one_hot(tid[..., 0].astype(jnp.int32), NC)
+    sums = fh.head_sums_reference_mc(preds, tid, NC)
+    np.testing.assert_allclose(
+        float(loss_from_sums("cce", sums)),
+        float(categorical_ce_loss(one_hot, preds)),
+        rtol=1e-6,
+    )
+
+
+def test_multiclass_train_step_matches_xla_step(rng_np):
+    """The full multiclass fused-head train step (softmax + CCE + argmax
+    CM) reproduces the composed XLA step: loss, dice, confusion matrix,
+    post-update params and BN running stats."""
+    images = rng_np.rand(2, 32, 32, 3).astype(np.float32)
+    masks = rng_np.randint(0, 3, size=(2, 32, 32, 1)).astype(np.float32)
+
+    over = dict(model__num_classes=3, train__loss="cce")
+    _, m_x, s_x = _step_fixture(rng_np, use_pallas=False, **over)
+    _, m_p, s_p = _step_fixture(rng_np, use_pallas=True, **over)
+    n_x, met_x = make_train_step(m_x, "cce", donate=False)(
+        s_x, jnp.asarray(images), jnp.asarray(masks)
+    )
+    n_p, met_p = make_train_step(m_p, "cce", donate=False)(
+        s_p, jnp.asarray(images), jnp.asarray(masks)
+    )
+
+    np.testing.assert_allclose(
+        float(met_x["loss"]), float(met_p["loss"]), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(met_x["dice"]), float(met_p["dice"]), rtol=1e-4
+    )
+    for key in ("cm_thresh", "cm_raw"):
+        np.testing.assert_allclose(
+            np.asarray(met_x[key]), np.asarray(met_p[key]), atol=0.5,
+            err_msg=key,
+        )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(n_x.params),
+        jax.tree_util.tree_leaves(n_p.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=4e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(n_x.batch_stats),
+        jax.tree_util.tree_leaves(n_p.batch_stats),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
 def _step_fixture(rng, use_pallas, **over):

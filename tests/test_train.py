@@ -239,17 +239,21 @@ def test_fit_pallas_trains_on_shard_map_mesh(workdir):
 
 
 def test_fit_pallas_spatial_mesh_falls_back_loudly(workdir, capsys):
-    """Pallas training is data-parallel only: a spatial mesh must drop to
-    the XLA path with a visible warning, not compute wrong halos."""
+    """Spatially-sharded fused training needs the sums-form loss contract;
+    an unsupported config (bce) on a spatial mesh must drop to the
+    GSPMD-XLA path with a visible warning, not compute wrong halos.
+    (The supported config engaging the fused path is pinned in
+    tests/test_spatial_train.py::test_fit_spatial_mesh_uses_fused_path.)"""
     cfg = tiny_config(
         workdir,
         model__use_pallas=True,
         train__epochs=1,
+        train__loss="bce",
         train__model_out=os.path.join(workdir, "model_sp"),
         mesh__data_axis=4,
         mesh__spatial_axis=2,
     )
     result = fit(cfg, verbose=False)
     out = capsys.readouterr().out
-    assert "data-parallel only" in out
+    assert "GSPMD-XLA path" in out
     assert result.epochs_run == 1

@@ -314,12 +314,9 @@ class UNet(nn.Module):
             stage = depth - i
             has_dropout = self.dropout_rate > 0.0 and i < depth - 1
             # final decoder stage + head + loss sums fuse into one kernel
-            # pair when the caller asked for the sums contract (binary head)
-            want_head = (
-                head_targets is not None
-                and self.num_classes == 1
-                and i == depth - 1
-            )
+            # pair when the caller asked for the sums contract (sigmoid
+            # head, or softmax head up to MAX_MC_CLASSES)
+            want_head = head_targets is not None and i == depth - 1
             # Packed decoder feed (training chain only): the upsample's
             # row parity splits into two (C, 2F) matmuls whose stacked
             # output IS pack-2 layout (no 6D-transpose pixel shuffle),
@@ -490,14 +487,19 @@ class UNet(nn.Module):
             if self.num_classes == 1
             else jax.nn.softmax(logits, axis=-1)
         )
-        if head_targets is not None and self.num_classes == 1:
+        if head_targets is not None:
             # sums contract on the non-fused paths: same dict, computed
             # from the materialized probabilities
             from unet_image_segmentation_tpu.ops.pallas.fused_head import (
                 head_sums_reference,
+                head_sums_reference_mc,
             )
 
-            return head_sums_reference(preds, head_targets)
+            if self.num_classes == 1:
+                return head_sums_reference(preds, head_targets)
+            return head_sums_reference_mc(
+                preds, head_targets, self.num_classes
+            )
         return preds
 
 

@@ -64,17 +64,39 @@ def categorical_ce_loss(
 
 
 SUMS_LOSSES = ("dice", "iou", "jaccard")
+# The multiclass fused head additionally emits a per-sample CCE sum, so
+# softmax models can train any of these through the sums contract.
+SUMS_LOSSES_MULTICLASS = SUMS_LOSSES + ("cce",)
+
+
+def sums_loss_supported(name: str, num_classes: int) -> bool:
+    """Can ``loss_from_sums`` express this loss for this head?"""
+    return name in (
+        SUMS_LOSSES_MULTICLASS if num_classes > 1 else SUMS_LOSSES
+    )
 
 
 def loss_from_sums(name: str, sums: dict) -> jax.Array:
-    """Dice-family loss from the fused head's per-sample reductions.
+    """Loss from the fused head's per-sample reductions.
 
     ``sums``: the SUM_KEYS dict (``ops.pallas.fused_head``) — ``i`` =
-    per-sample intersection, ``p`` = prediction sum, ``t`` = target sum.
-    Same formula/order as :func:`dice_loss` / :func:`iou_loss` (per-sample
-    coefficient, mean over batch, 1 - mean), so the fused training path
-    reproduces the composed loss to reduction-order noise.
+    per-sample intersection, ``p`` = prediction sum, ``t`` = target sum
+    (binary head: shape ``(B,)``; multiclass head: ``(B, C)`` per class,
+    plus ``cce`` = per-sample sum of clipped cross-entropy).  Same
+    formula/order as the composed losses (per-sample[-and-class]
+    coefficient, mean, 1 - mean for the dice family; pixel-mean for cce),
+    so the fused training path reproduces the composed loss to
+    reduction-order noise.
     """
+    if name == "cce":
+        if "cce" not in sums:
+            raise ValueError(
+                "loss 'cce' needs the multiclass head sums (key 'cce')"
+            )
+        # mean over pixels (Keras CategoricalCrossentropy): every valid
+        # pixel carries exactly one true class, so sum(t) == H*W
+        npix = jnp.sum(sums["t"], axis=-1)
+        return jnp.mean(sums["cce"] / jnp.maximum(npix, 1.0))
     i, p, t = sums["i"], sums["p"], sums["t"]
     if name == "dice":
         coef = (2.0 * i + SMOOTH) / (t + p + SMOOTH)
@@ -83,7 +105,7 @@ def loss_from_sums(name: str, sums: dict) -> jax.Array:
     else:
         raise ValueError(
             f"loss {name!r} is not expressible from the head sums; "
-            f"available: {SUMS_LOSSES}"
+            f"available: {SUMS_LOSSES_MULTICLASS}"
         )
     return 1.0 - jnp.mean(coef)
 

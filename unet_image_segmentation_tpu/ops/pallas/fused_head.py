@@ -68,6 +68,22 @@ ROW_IT, ROW_PT, ROW_TT = 3, 4, 5       # thresholded (> 0.5) CM counts
 ROW_IR, ROW_PR, ROW_TR = 6, 7, 8       # Keras int-cast (floor) CM counts
 N_ROWS = 16
 
+# Multiclass panel (softmax head, 2 <= C <= 4): per-class dice sums, one
+# CCE row, and the full CxC argmax confusion matrix — 3C + 1 + C^2 rows
+# (<= 29 for C=4), padded to one 32-sublane tile.
+N_ROWS_MC = 32
+MAX_MC_CLASSES = 4
+
+_CLIP_EPS = 1e-7  # Keras CCE probability clip (ops.losses SMOOTH)
+
+
+def _mc_rows(nc: int):
+    """(I_c, P_c, T_c, CCE, CM(a, b)) row indices of the multiclass panel."""
+    i0, p0, t0 = 0, nc, 2 * nc
+    cce = 3 * nc
+    cm0 = 3 * nc + 1
+    return i0, p0, t0, cce, cm0
+
 
 def _pick_tile_h(h: int, wp: int, pf: int, n_bufs: int) -> Optional[int]:
     """Largest power-of-two row tile with ``n_bufs`` double-buffered slabs
@@ -217,6 +233,186 @@ def head_fwd_sums(
             flops=bsz * h * wp * (pf * COLS * 2 + pf * 4 + COLS * 20),
             bytes_accessed=bsz * h * wp * (pf + COLS) * 2,
             transcendentals=bsz * h * wp * COLS,
+        ),
+        compiler_params=fs.vmem_params(),
+        interpret=_use_interpret(),
+    )(y_p, t_exp, aff, wsel, bvec)
+
+
+# ---------------------------------------------------------------------------
+# Multiclass (softmax) head kernels
+# ---------------------------------------------------------------------------
+
+
+def _mc_softmax(ls, cmask):
+    """float32 softmax across the per-class (N, COLS) logit arrays,
+    mirroring ``jax.nn.softmax`` (max-subtracted exp, normalize); dead
+    columns (cmask == 0) yield exactly 0 for every class."""
+    m = ls[0]
+    for l in ls[1:]:
+        m = jnp.maximum(m, l)
+    es = [jnp.exp(l - m) * cmask for l in ls]
+    s = es[0]
+    for e in es[1:]:
+        s = s + e
+    s = s + (1.0 - cmask)  # dead columns: 0/1 instead of 0/0
+    return [e / s for e in es]
+
+
+def _mc_logits(z2, wsel_ref, bvec_ref, dtype, nc):
+    """Per-class (N, COLS) float32 logits with the XLA conv's rounding
+    points (dot rounds to the model dtype, same-dtype bias add)."""
+    ls = []
+    for c in range(nc):
+        lf = jax.lax.dot(
+            z2, wsel_ref[c], preferred_element_type=jnp.float32
+        )
+        ls.append(
+            (lf.astype(dtype) + bvec_ref[c].astype(dtype)).astype(
+                jnp.float32
+            )
+        )
+    return ls
+
+
+def _mc_argmax_onehot(ys, cmask, nc):
+    """First-max-wins argmax indicators (``jnp.argmax`` tie semantics)."""
+    ymax = ys[0]
+    for y in ys[1:]:
+        ymax = jnp.maximum(ymax, y)
+    found = jnp.zeros_like(ymax, dtype=jnp.bool_)
+    out = []
+    for c in range(nc):
+        is_c = jnp.logical_and(ys[c] == ymax, jnp.logical_not(found))
+        found = jnp.logical_or(found, is_c)
+        out.append(is_c.astype(jnp.float32) * cmask)
+    return out
+
+
+def _head_fwd_kernel_mc(
+    y_hbm,     # (B, H, Wp, pF) ANY — raw (pre-BN) chain output
+    t_hbm,     # (B, H, Wp, COLS) ANY int8 — lane-expanded class ids
+    aff_ref,   # (2, pF) VMEM f32: pending affine a, b (tiled over p)
+    wsel_ref,  # (C, pF, COLS) VMEM bf16 — per-class block-diagonal weights
+    bvec_ref,  # (8, COLS) VMEM f32: rows 0..C-1 bias_c, row 4 colmask
+    out_ref,   # (1, N_ROWS_MC, COLS) VMEM f32 — per-sample sums
+    ybuf, tbuf, acc, in_sems,
+    *,
+    tile_h: int,
+    n_tiles: int,
+    nc: int,
+):
+    b = pl.program_id(0)
+    wp = ybuf.shape[2]
+    pf = ybuf.shape[3]
+
+    def start_in(j, slot):
+        pltpu.make_async_copy(
+            y_hbm.at[b, pl.ds(j * tile_h, tile_h)], ybuf.at[slot],
+            in_sems.at[slot, 0],
+        ).start()
+        pltpu.make_async_copy(
+            t_hbm.at[b, pl.ds(j * tile_h, tile_h)], tbuf.at[slot],
+            in_sems.at[slot, 1],
+        ).start()
+
+    def wait_in(j, slot):
+        pltpu.make_async_copy(
+            y_hbm.at[b, pl.ds(j * tile_h, tile_h)], ybuf.at[slot],
+            in_sems.at[slot, 0],
+        ).wait()
+        pltpu.make_async_copy(
+            t_hbm.at[b, pl.ds(j * tile_h, tile_h)], tbuf.at[slot],
+            in_sems.at[slot, 1],
+        ).wait()
+
+    acc[...] = jnp.zeros((N_ROWS_MC, COLS), jnp.float32)
+    start_in(0, 0)
+    i0, p0, t0, rcce, cm0 = _mc_rows(nc)
+
+    def body(j, _):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < n_tiles)
+        def _():
+            start_in(j + 1, jax.lax.rem(j + 1, 2))
+
+        wait_in(j, slot)
+
+        yf = ybuf[slot].astype(jnp.float32)
+        wlin = yf * aff_ref[0][None, None, :] + aff_ref[1][None, None, :]
+        z = jnp.maximum(wlin, 0.0).astype(ybuf.dtype)
+        z2 = z.reshape(tile_h * wp, pf)
+        cmask = bvec_ref[4]
+        ls = _mc_logits(z2, wsel_ref, bvec_ref, ybuf.dtype, nc)
+        ys = _mc_softmax(ls, cmask)
+        iss = _mc_argmax_onehot(ys, cmask, nc)
+        tid = tbuf[slot].astype(jnp.int32).reshape(tile_h * wp, COLS)
+
+        ce = jnp.zeros_like(ys[0])
+        for c in range(nc):
+            tc = (tid == c).astype(jnp.float32) * cmask
+            yc = ys[c]
+            acc[i0 + c, :] = acc[i0 + c, :] + jnp.sum(yc * tc, axis=0)
+            acc[p0 + c, :] = acc[p0 + c, :] + jnp.sum(yc, axis=0)
+            acc[t0 + c, :] = acc[t0 + c, :] + jnp.sum(tc, axis=0)
+            ce = ce - tc * jnp.log(jnp.maximum(yc, _CLIP_EPS))
+            for k in range(nc):
+                r = cm0 + c * nc + k
+                acc[r, :] = acc[r, :] + jnp.sum(tc * iss[k], axis=0)
+        acc[rcce, :] = acc[rcce, :] + jnp.sum(ce, axis=0)
+        return ()
+
+    jax.lax.fori_loop(0, n_tiles, body, (), unroll=False)
+    out_ref[0] = acc[...]
+
+
+def head_fwd_sums_mc(
+    y_p: jax.Array,     # (B, H, Wp, pF) — raw chain output, packed
+    t_exp: jax.Array,   # (B, H, Wp, COLS) int8 — lane-expanded class ids
+    aff2: jax.Array,    # (2, F) f32: pending affine a, b
+    wsel: jax.Array,    # (C, pF, COLS) bf16
+    bvec: jax.Array,    # (8, COLS) f32
+    p: int,
+    nc: int,
+) -> Optional[jax.Array]:
+    """(B, N_ROWS_MC, COLS) per-sample sum panels, or None if no tile."""
+    bsz, h, wp, pf = y_p.shape
+    tile_h = _pick_tile_h(h, wp, pf, n_bufs=2 + 2 * nc)
+    if tile_h is None:
+        return None
+    n_tiles = h // tile_h
+    aff = jnp.tile(aff2.astype(jnp.float32), (1, p))
+    kernel = functools.partial(
+        _head_fwd_kernel_mc, tile_h=tile_h, n_tiles=n_tiles, nc=nc
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, N_ROWS_MC, COLS),
+            lambda bi: (bi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, N_ROWS_MC, COLS), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_h, wp, pf), y_p.dtype),
+            pltpu.VMEM((2, tile_h, wp, COLS), t_exp.dtype),
+            pltpu.VMEM((N_ROWS_MC, COLS), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=bsz * h * wp * (nc * pf * COLS * 2 + pf * 4
+                                  + COLS * nc * (nc + 12)),
+            bytes_accessed=bsz * h * wp * (pf * 2 + COLS),
+            transcendentals=bsz * h * wp * COLS * 2 * nc,
         ),
         compiler_params=fs.vmem_params(),
         interpret=_use_interpret(),
@@ -425,6 +621,221 @@ def head_bwd(
     )(y_p, t_exp, aff, wsel, jnp.transpose(wsel), bvec, gsc)
 
 
+def _head_bwd_kernel_mc(
+    y_hbm,     # (B, H, Wp, pF) ANY
+    t_hbm,     # (B, H, Wp, COLS) ANY int8 class ids
+    aff_ref,   # (4, pF) VMEM f32: a, b, mean, rstd (tiled over p)
+    wsel_ref,  # (C, pF, COLS) VMEM bf16
+    wselt_ref, # (C, COLS, pF) VMEM bf16 — per-class transpose
+    bvec_ref,  # (8, COLS) VMEM f32: rows 0..C-1 bias_c, row 4 colmask
+    gsc_ref,   # (1, N_ROWS_MC, COLS) VMEM f32 — per-sample panel cotangent
+    dz_hbm,    # (B, H, Wp, pF) ANY out — ReLU-masked z-space gradient
+    st_ref,    # (8, pF) f32 out: row0 S = sum(dzt), row1 T = sum(dzt*yhat)
+    dw_ref,    # (C, pF, COLS) f32 out: per-class head weight-grad panels
+    db_ref,    # (8, COLS) f32 out: rows 0..C-1 = per-class sum(dlogits)
+    ybuf, tbuf, dzbuf, st_acc, dw_acc, db_acc, in_sems, out_sems,
+    *,
+    tile_h: int,
+    n_tiles: int,
+    nc: int,
+):
+    b = pl.program_id(0)
+    wp = ybuf.shape[2]
+    pf = ybuf.shape[3]
+
+    def start_in(j, slot):
+        pltpu.make_async_copy(
+            y_hbm.at[b, pl.ds(j * tile_h, tile_h)], ybuf.at[slot],
+            in_sems.at[slot, 0],
+        ).start()
+        pltpu.make_async_copy(
+            t_hbm.at[b, pl.ds(j * tile_h, tile_h)], tbuf.at[slot],
+            in_sems.at[slot, 1],
+        ).start()
+
+    def wait_in(j, slot):
+        pltpu.make_async_copy(
+            y_hbm.at[b, pl.ds(j * tile_h, tile_h)], ybuf.at[slot],
+            in_sems.at[slot, 0],
+        ).wait()
+        pltpu.make_async_copy(
+            t_hbm.at[b, pl.ds(j * tile_h, tile_h)], tbuf.at[slot],
+            in_sems.at[slot, 1],
+        ).wait()
+
+    def out_copy(j, slot):
+        return pltpu.make_async_copy(
+            dzbuf.at[slot],
+            dz_hbm.at[b, pl.ds(j * tile_h, tile_h)],
+            out_sems.at[slot],
+        )
+
+    st_acc[...] = jnp.zeros((8, pf), jnp.float32)
+    dw_acc[...] = jnp.zeros((nc, pf, COLS), jnp.float32)
+    db_acc[...] = jnp.zeros((8, COLS), jnp.float32)
+    start_in(0, 0)
+    i0, p0, t0, rcce, cm0 = _mc_rows(nc)
+
+    def body(j, _):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < n_tiles)
+        def _():
+            start_in(j + 1, jax.lax.rem(j + 1, 2))
+
+        wait_in(j, slot)
+
+        @pl.when(j >= 2)
+        def _():
+            out_copy(j - 2, slot).wait()
+
+        yf = ybuf[slot].astype(jnp.float32)
+        wlin = yf * aff_ref[0][None, None, :] + aff_ref[1][None, None, :]
+        z = jnp.maximum(wlin, 0.0).astype(ybuf.dtype)
+        z2 = z.reshape(tile_h * wp, pf)
+        cmask = bvec_ref[4]
+        ls = _mc_logits(z2, wsel_ref, bvec_ref, ybuf.dtype, nc)
+        ys = _mc_softmax(ls, cmask)
+        tid = tbuf[slot].astype(jnp.int32).reshape(tile_h * wp, COLS)
+
+        dcce = gsc_ref[0, rcce, :]
+        dys = []
+        for c in range(nc):
+            tc = (tid == c).astype(jnp.float32) * cmask
+            yc = ys[c]
+            dy = gsc_ref[0, i0 + c, :] * tc + gsc_ref[0, p0 + c, :] * cmask
+            # CCE: d(-t*log(clip(y, eps, 1))) — the clip kills the
+            # gradient below eps (softmax output never exceeds 1)
+            dy = dy + dcce * jnp.where(
+                yc >= _CLIP_EPS, -tc / jnp.maximum(yc, _CLIP_EPS), 0.0
+            )
+            dys.append(dy)
+        # softmax vjp: dl_c = y_c * (dy_c - sum_k y_k dy_k)
+        ydot = ys[0] * dys[0]
+        for c in range(1, nc):
+            ydot = ydot + ys[c] * dys[c]
+        dzc = jnp.zeros((tile_h * wp, pf), jnp.float32)
+        for c in range(nc):
+            dl = ys[c] * (dys[c] - ydot)
+            dlb = dl.astype(ybuf.dtype)  # XLA einsum-vjp rounding point
+            dzc = dzc + jax.lax.dot(
+                dlb, wselt_ref[c], preferred_element_type=jnp.float32
+            )
+            dw_acc[c] = dw_acc[c] + jax.lax.dot_general(
+                z2, dlb, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            db_acc[c, :] = db_acc[c, :] + jnp.sum(dl, axis=0)
+        wlin2 = wlin.reshape(tile_h * wp, pf)
+        dzt = jnp.where(wlin2 > 0, dzc, 0.0)
+        dzbuf[slot] = dzt.reshape(tile_h, wp, pf).astype(dzbuf.dtype)
+        out_copy(j, slot).start()
+
+        yhat = (
+            (yf - aff_ref[2][None, None, :]) * aff_ref[3][None, None, :]
+        ).reshape(tile_h * wp, pf)
+        st_acc[0, :] = st_acc[0, :] + jnp.sum(dzt, axis=0)
+        st_acc[1, :] = st_acc[1, :] + jnp.sum(dzt * yhat, axis=0)
+        return ()
+
+    jax.lax.fori_loop(0, n_tiles, body, (), unroll=False)
+
+    @pl.when(n_tiles >= 2)
+    def _():
+        out_copy(n_tiles - 2, jax.lax.rem(n_tiles - 2, 2)).wait()
+
+    out_copy(n_tiles - 1, jax.lax.rem(n_tiles - 1, 2)).wait()
+
+    first = b == 0
+
+    @pl.when(first)
+    def _():
+        st_ref[...] = st_acc[...]
+        dw_ref[...] = dw_acc[...]
+        db_ref[...] = db_acc[...]
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        st_ref[...] = st_ref[...] + st_acc[...]
+        dw_ref[...] = dw_ref[...] + dw_acc[...]
+        db_ref[...] = db_ref[...] + db_acc[...]
+
+
+def head_bwd_mc(
+    y_p: jax.Array,     # (B, H, Wp, pF)
+    t_exp: jax.Array,   # (B, H, Wp, COLS) int8 class ids
+    aff4: jax.Array,    # (4, F) f32: a, b, mean, rstd
+    wsel: jax.Array,    # (C, pF, COLS) bf16
+    bvec: jax.Array,    # (8, COLS) f32
+    gsc: jax.Array,     # (B, N_ROWS_MC, COLS) f32 — panel cotangents
+    p: int,
+    nc: int,
+) -> Optional[Tuple[jax.Array, jax.Array, jax.Array, jax.Array]]:
+    """(dzt, st (8, pF), dw (C, pF, COLS), db (8, COLS)) or None."""
+    bsz, h, wp, pf = y_p.shape
+    tile_h = _pick_tile_h(h, wp, pf, n_bufs=3 + 3 * nc)
+    if tile_h is None:
+        return None
+    n_tiles = h // tile_h
+    aff = jnp.tile(aff4.astype(jnp.float32), (1, p))
+    kernel = functools.partial(
+        _head_bwd_kernel_mc, tile_h=tile_h, n_tiles=n_tiles, nc=nc
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, N_ROWS_MC, COLS),
+                lambda bi: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((8, pf), lambda bi: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (nc, pf, COLS), lambda bi: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((8, COLS), lambda bi: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, h, wp, pf), y_p.dtype),
+            jax.ShapeDtypeStruct((8, pf), jnp.float32),
+            jax.ShapeDtypeStruct((nc, pf, COLS), jnp.float32),
+            jax.ShapeDtypeStruct((8, COLS), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_h, wp, pf), y_p.dtype),
+            pltpu.VMEM((2, tile_h, wp, COLS), t_exp.dtype),
+            pltpu.VMEM((2, tile_h, wp, pf), y_p.dtype),
+            pltpu.VMEM((8, pf), jnp.float32),
+            pltpu.VMEM((nc, pf, COLS), jnp.float32),
+            pltpu.VMEM((8, COLS), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=bsz * h * wp * (nc * pf * COLS * 6 + pf * 8
+                                  + COLS * nc * 16),
+            bytes_accessed=bsz * h * wp * (3 * pf * 2 + COLS),
+            transcendentals=bsz * h * wp * COLS * 2 * nc,
+        ),
+        compiler_params=fs.vmem_params(),
+        interpret=_use_interpret(),
+    )(
+        y_p, t_exp, aff, wsel,
+        jnp.transpose(wsel, (0, 2, 1)), bvec, gsc,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Chain + head custom_vjp
 # ---------------------------------------------------------------------------
@@ -435,12 +846,16 @@ _SUM_ROWS = (
 )
 
 
-def head_pack_feasible(h: int, wp: int, pf: int) -> bool:
+def head_pack_feasible(h: int, wp: int, pf: int, nc: int = 1) -> bool:
     """Static check that BOTH head kernels can tile this shape."""
+    if nc == 1:
+        bufs_f, bufs_b = 2, 3
+    else:
+        bufs_f, bufs_b = 2 + 2 * nc, 3 + 3 * nc
     return (
         pf % fs.LANE == 0
-        and _pick_tile_h(h, wp, pf, n_bufs=2) is not None
-        and _pick_tile_h(h, wp, pf, n_bufs=3) is not None
+        and _pick_tile_h(h, wp, pf, n_bufs=bufs_f) is not None
+        and _pick_tile_h(h, wp, pf, n_bufs=bufs_b) is not None
     )
 
 
@@ -456,7 +871,7 @@ def fused_head_feasible(
     to the composed head would declare ``output_mask`` twice and Flax raises
     ``NameInUseError`` at trace time (e.g. filters where no pack makes
     ``p*filters[0]`` a multiple of 128)."""
-    if num_classes != 1:
+    if num_classes != 1 and not 2 <= num_classes <= MAX_MC_CLASSES:
         return False
     h = z_shape[1]
     if in_packed in (None, 1):
@@ -468,7 +883,7 @@ def fused_head_feasible(
         p = in_packed
         w = z_shape[2] * in_packed
     f_last = block_channels[-1]
-    return head_pack_feasible(h, w // p, p * f_last)
+    return head_pack_feasible(h, w // p, p * f_last, nc=num_classes)
 
 
 def _head_mats(w_head, b_head, p, f, dtype):
@@ -487,30 +902,58 @@ def _head_mats(w_head, b_head, p, f, dtype):
     return wsel, bvec
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _head_mats_mc(w_head, b_head, p, f, nc, dtype):
+    """Multiclass kernel operands from the true head params ``w (F, C)``,
+    ``b (C,)``: per-class block-diagonal (C, pF, COLS) weight panels plus
+    the (8, COLS) bias/colmask panel (rows 0..C-1 = bias_c, row 4 =
+    colmask)."""
+    pf = p * f
+    rows = jax.lax.broadcasted_iota(jnp.int32, (pf, COLS), 0) // f
+    cols = jax.lax.broadcasted_iota(jnp.int32, (pf, COLS), 1)
+    msk = (rows == cols).astype(dtype)
+    wsel = jnp.stack(
+        [
+            jnp.tile(w_head[:, c].astype(dtype), p)[:, None] * msk
+            for c in range(nc)
+        ]
+    )
+    colmask = (jnp.arange(COLS) < p).astype(jnp.float32)
+    bvec = jnp.zeros((8, COLS), jnp.float32)
+    for c in range(nc):
+        bvec = bvec.at[c].set(b_head[c].astype(jnp.float32) * colmask)
+    bvec = bvec.at[4].set(colmask)
+    return wsel, bvec
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
 def _head_core(
-    n_blocks, eps, axis_name, spatial, in_p,
+    n_blocks, eps, axis_name, spatial, in_p, nc,
     z_in, t_exp, w_head, b_head, *flat_params,
 ):
-    """Last decoder chain + 1x1-conv/sigmoid head + loss/metric sums.
+    """Last decoder chain + 1x1-conv/sigmoid-or-softmax head + loss/metric
+    sums.
 
-    Returns ``(panel (B, N_ROWS, 128) f32, ((mean, var), ...))``.  The
+    Returns ``(panel (B, N_ROWS[_MC], 128) f32, ((mean, var), ...))``.  The
     probability tensor never reaches HBM in either direction: the forward
     emits only the per-sample sums; the backward recomputes the head in
     VMEM and hands the chain backward its boundary gradient directly.
+
+    ``nc == 1``: sigmoid head, binary panel (``w_head (F,)``, scalar bias,
+    ``t_exp`` 0/1 masks).  ``nc > 1``: softmax head, multiclass panel
+    (``w_head (F, C)``, ``b_head (C,)``, ``t_exp`` int8 class ids).
 
     Targets are DATA: their cotangent is defined as zero (stop-gradient
     semantics), like every training loss treats ground truth.
     """
     out, _ = _head_fwd(
-        n_blocks, eps, axis_name, spatial, in_p, z_in, t_exp, w_head,
+        n_blocks, eps, axis_name, spatial, in_p, nc, z_in, t_exp, w_head,
         b_head, *flat_params,
     )
     return out
 
 
 def _head_fwd(
-    n_blocks, eps, axis_name, spatial, in_p,
+    n_blocks, eps, axis_name, spatial, in_p, nc,
     z_in, t_exp, w_head, b_head, *flat_params,
 ):
     outputs, residuals = ft._chain_fwd_impl(
@@ -525,13 +968,21 @@ def _head_fwd(
     mean, var = stats[-1]
     a_out, b_out = ft._affine_from_stats(gamma, beta, mean, var, eps)
     aff2 = jnp.stack([a_out, b_out])
-    wsel, bvec = _head_mats(w_head, b_head, p, f_last, ys[-1].dtype)
-    panel = head_fwd_sums(ys[-1], t_exp, aff2, wsel, bvec, p)
+    if nc == 1:
+        wsel, bvec = _head_mats(w_head, b_head, p, f_last, ys[-1].dtype)
+        panel = head_fwd_sums(ys[-1], t_exp, aff2, wsel, bvec, p)
+    else:
+        wsel, bvec = _head_mats_mc(
+            w_head, b_head, p, f_last, nc, ys[-1].dtype
+        )
+        panel = head_fwd_sums_mc(ys[-1], t_exp, aff2, wsel, bvec, p, nc)
     assert panel is not None, "caller must pre-check head_pack_feasible"
     return (panel, stats), (residuals, t_exp, w_head, b_head)
 
 
-def _head_bwd(n_blocks, eps, axis_name, spatial, in_p, saved, cotangents):
+def _head_bwd(
+    n_blocks, eps, axis_name, spatial, in_p, nc, saved, cotangents
+):
     residuals, t_exp, w_head, b_head = saved
     z_first, ys, stats, flat_params, n, p, drop_seed, halos = residuals
     g_panel, stats_cot = cotangents
@@ -544,21 +995,29 @@ def _head_bwd(n_blocks, eps, axis_name, spatial, in_p, saved, cotangents):
     aff4 = jnp.stack(
         [a_out, b_out, mean.astype(jnp.float32), r.astype(jnp.float32)]
     )
-    wsel, bvec = _head_mats(w_head, b_head, p, f_last, ys[-1].dtype)
-    # per-sample loss cotangents: only the differentiable rows (I, P)
-    # propagate — T is target-only; the threshold/int-cast count rows are
-    # step functions (zero gradient a.e., Keras metrics are not trained on)
     g_panel = g_panel.astype(jnp.float32)
-    zero = jnp.zeros_like(g_panel[:, :1, :])
-    gsc = jnp.concatenate(
-        [
-            g_panel[:, ROW_I : ROW_I + 1, :],
-            g_panel[:, ROW_P : ROW_P + 1, :],
-        ]
-        + [zero] * 6,
-        axis=1,
-    )
-    res = head_bwd(ys[-1], t_exp, aff4, wsel, bvec, gsc, p)
+    if nc == 1:
+        wsel, bvec = _head_mats(w_head, b_head, p, f_last, ys[-1].dtype)
+        # per-sample loss cotangents: only the differentiable rows (I, P)
+        # propagate — T is target-only; the threshold/int-cast count rows
+        # are step functions (zero gradient a.e.)
+        zero = jnp.zeros_like(g_panel[:, :1, :])
+        gsc = jnp.concatenate(
+            [
+                g_panel[:, ROW_I : ROW_I + 1, :],
+                g_panel[:, ROW_P : ROW_P + 1, :],
+            ]
+            + [zero] * 6,
+            axis=1,
+        )
+        res = head_bwd(ys[-1], t_exp, aff4, wsel, bvec, gsc, p)
+    else:
+        wsel, bvec = _head_mats_mc(
+            w_head, b_head, p, f_last, nc, ys[-1].dtype
+        )
+        # the kernel reads only the differentiable rows (I_c, P_c, CCE)
+        # of the cotangent panel; T/CM rows are data/step functions
+        res = head_bwd_mc(ys[-1], t_exp, aff4, wsel, bvec, g_panel, p, nc)
     assert res is not None, "forward checked head_pack_feasible"
     dzt, st, dw_panel, db_row = res
 
@@ -577,19 +1036,33 @@ def _head_bwd(n_blocks, eps, axis_name, spatial, in_p, saved, cotangents):
         S_loc=S_loc, T_loc=T_loc, spatial=spatial, halos=halos,
     )
     # head param grads: LOCAL partials (the train step pmeans across the
-    # mesh); dw[c] = sum_j dw_panel[j*F + c, j] folds the block-diagonal
-    # selection back onto the true (F,) weight
-    dwp = dw_panel.reshape(p, f_last, COLS)
-    dw = functools.reduce(
-        lambda a, j: a + dwp[j, :, j], range(p),
-        jnp.zeros((f_last,), jnp.float32),
-    )
-    db = jnp.sum(db_row[0] * bvec[1])
+    # mesh); dw[ch] = sum_j dw_panel[j*F + ch, j] folds the block-diagonal
+    # selection back onto the true weight
+    if nc == 1:
+        dwp = dw_panel.reshape(p, f_last, COLS)
+        dw = functools.reduce(
+            lambda a, j: a + dwp[j, :, j], range(p),
+            jnp.zeros((f_last,), jnp.float32),
+        )
+        db = jnp.sum(db_row[0] * bvec[1])
+    else:
+        dwp = dw_panel.reshape(nc, p, f_last, COLS)
+        dw = jnp.stack(
+            [
+                functools.reduce(
+                    lambda a, j: a + dwp[c, j, :, j], range(p),
+                    jnp.zeros((f_last,), jnp.float32),
+                )
+                for c in range(nc)
+            ],
+            axis=-1,
+        )  # (F, C)
+        db = jnp.stack([jnp.sum(db_row[c]) for c in range(nc)])
     dt = jnp.zeros_like(t_exp)  # targets are data
     return (
         dz_in,
         dt,
-        dw.astype(w_head.dtype),
+        dw.astype(w_head.dtype).reshape(w_head.shape),
         db.astype(b_head.dtype).reshape(b_head.shape),
         *flat_grads,
     )
@@ -616,6 +1089,63 @@ def expand_targets(targets: jax.Array, p: int) -> jax.Array:
     b, h, w = targets.shape
     t = (targets > 0.5).astype(jnp.int8).reshape(b, h, w // p, p)
     return jnp.pad(t, ((0, 0), (0, 0), (0, 0), (0, COLS - p)))
+
+
+def expand_target_ids(targets: jax.Array, p: int) -> jax.Array:
+    """(B, H, W[, 1]) class-id mask (or one-hot ``(..., C)``) -> the
+    kernels' lane-expanded (B, H, W/p, 128) int8 class-id layout.
+
+    Class ids are small exact integers stored as floats by the loaders —
+    ``round`` (not floor) keeps them exact through any float dtype.  The
+    zero padding beyond column ``p`` would alias class 0, so the kernels
+    gate every target read with the column mask."""
+    if targets.ndim == 4:
+        if targets.shape[-1] > 1:  # one-hot
+            targets = jnp.argmax(targets, axis=-1).astype(jnp.float32)
+        else:
+            targets = targets[..., 0]
+    b, h, w = targets.shape
+    t = jnp.round(targets).astype(jnp.int8).reshape(b, h, w // p, p)
+    return jnp.pad(t, ((0, 0), (0, 0), (0, 0), (0, COLS - p)))
+
+
+def head_sums_reference_mc(
+    preds: jax.Array, targets: jax.Array, num_classes: int
+) -> dict:
+    """The multiclass sums contract computed from materialized softmax
+    probabilities (XLA fallback / oracle): per-sample per-class dice sums
+    ``(B, C)``, the per-sample CCE sum ``(B,)`` and the per-sample argmax
+    confusion matrix ``(B, C, C)`` (rows = true class)."""
+    y = preds.astype(jnp.float32)  # (B, H, W, C)
+    if targets.ndim == 4:
+        if targets.shape[-1] == num_classes and num_classes > 1:
+            tid = jnp.argmax(targets, axis=-1)
+        else:
+            tid = targets[..., 0]
+    else:
+        tid = targets
+    tid = jnp.clip(
+        jnp.round(tid.astype(jnp.float32)).astype(jnp.int32),
+        0, num_classes - 1,
+    )
+    t1 = jax.nn.one_hot(tid, num_classes, dtype=jnp.float32)
+    ax = (1, 2)
+    yc = jnp.clip(y, _CLIP_EPS, 1.0)
+    pred_cls = jnp.argmax(y, axis=-1)
+    p1 = jax.nn.one_hot(pred_cls, num_classes, dtype=jnp.float32)
+    b = y.shape[0]
+    return {
+        "i": jnp.sum(y * t1, axis=ax),
+        "p": jnp.sum(y, axis=ax),
+        "t": jnp.sum(t1, axis=ax),
+        "cce": jnp.sum(-t1 * jnp.log(yc), axis=(1, 2, 3)),
+        "cm": jnp.einsum(
+            "bni,bnj->bij",
+            t1.reshape(b, -1, num_classes),
+            p1.reshape(b, -1, num_classes),
+            preferred_element_type=jnp.float32,
+        ),
+    }
 
 
 def head_sums_reference(preds: jax.Array, targets: jax.Array) -> dict:
@@ -660,16 +1190,25 @@ def fused_head_train(
     """Fused last-decoder-stage chain + segmentation head + loss sums.
 
     Drop-in sibling of :func:`..fused_train.fused_chain_train` for the
-    final decoder stage when ``num_classes == 1``: instead of returning the
-    stage activation (which the XLA head would re-read at full resolution
-    three times — conv, loss reductions, metrics), it returns
-    ``(sums, stats)`` where ``sums`` maps SUM_KEYS to per-sample ``(B,)``
-    float32 reductions — everything dice/IoU losses (reference
-    ``utils/loss.py:9-29``) and the confusion-matrix metrics (reference
-    ``scripts/train.py:231-239``) need.  Returns ``None`` when the packed
-    kernels don't apply (caller composes the XLA head instead).
+    final decoder stage: instead of returning the stage activation (which
+    the XLA head would re-read at full resolution three times — conv, loss
+    reductions, metrics), it returns ``(sums, stats)``.
+
+    * ``num_classes == 1`` (sigmoid head): ``sums`` maps SUM_KEYS to
+      per-sample ``(B,)`` float32 reductions — everything dice/IoU losses
+      (reference ``utils/loss.py:9-29``) and the confusion-matrix metrics
+      (reference ``scripts/train.py:231-239``) need.
+    * ``2 <= num_classes <= MAX_MC_CLASSES`` (softmax head, reference
+      ``model/u_net.py:108-112``): ``i``/``p``/``t`` are per-class
+      ``(B, C)``, plus ``cce`` ``(B,)`` (clipped categorical
+      cross-entropy sum) and ``cm`` ``(B, C, C)`` (argmax confusion
+      matrix); ``targets`` are integer class ids.
+
+    Returns ``None`` when the packed kernels don't apply (caller composes
+    the XLA head instead).
     """
-    if w_kernel.shape[-1] != 1:
+    nc = w_kernel.shape[-1]
+    if nc != 1 and not 2 <= nc <= MAX_MC_CLASSES:
         return None
     if in_packed in (None, 1):
         in_p = None
@@ -686,17 +1225,34 @@ def fused_head_train(
         b, h, wp0, _ = z_in.shape
         w = wp0 * in_p
     f_last = blocks[-1][1].reshape(-1, blocks[-1][1].shape[-1]).shape[-1]
-    if not head_pack_feasible(h, w // p, p * f_last):
+    if not head_pack_feasible(h, w // p, p * f_last, nc=nc):
         return None
     prepped = ft._prep_blocks(z_in.dtype, c0, blocks)
     flat = ft._flatten_params(prepped)
-    t_exp = expand_targets(targets, p)
+    if nc == 1:
+        t_exp = expand_targets(targets, p)
+        w_h, b_h = w_kernel.reshape(-1), bias.reshape(())
+    else:
+        t_exp = expand_target_ids(targets, p)
+        w_h, b_h = w_kernel.reshape(-1, nc), bias.reshape(nc)
     panel, stats = _head_core(
-        len(prepped), eps, axis_name, spatial_axis, in_p,
-        z_in, t_exp, w_kernel.reshape(-1), bias.reshape(()), *flat,
+        len(prepped), eps, axis_name, spatial_axis, in_p, nc,
+        z_in, t_exp, w_h, b_h, *flat,
     )
-    sums = {
-        k: panel[:, row, :].sum(axis=-1)
-        for k, row in zip(SUM_KEYS, _SUM_ROWS)
-    }
+    if nc == 1:
+        sums = {
+            k: panel[:, row, :].sum(axis=-1)
+            for k, row in zip(SUM_KEYS, _SUM_ROWS)
+        }
+    else:
+        i0, p0, t0, rcce, cm0 = _mc_rows(nc)
+        sums = {
+            "i": panel[:, i0 : i0 + nc, :].sum(axis=-1),
+            "p": panel[:, p0 : p0 + nc, :].sum(axis=-1),
+            "t": panel[:, t0 : t0 + nc, :].sum(axis=-1),
+            "cce": panel[:, rcce, :].sum(axis=-1),
+            "cm": panel[:, cm0 : cm0 + nc * nc, :]
+            .sum(axis=-1)
+            .reshape(-1, nc, nc),
+        }
     return sums, stats

@@ -33,11 +33,30 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from unet_image_segmentation_tpu.models.unet import UNet
-from unet_image_segmentation_tpu.ops.losses import SUMS_LOSSES, get_loss, loss_from_sums
+from unet_image_segmentation_tpu.ops.losses import (
+    get_loss,
+    loss_from_sums,
+    sums_loss_supported,
+)
 from unet_image_segmentation_tpu.ops.metrics import SMOOTH, confusion_matrix, dice_coef
 from unet_image_segmentation_tpu.train.state import TrainState
 
 Metrics = Dict[str, jax.Array]
+
+
+def _psum_replicated_cotangent(x, axis):
+    """``psum`` whose transpose is the IDENTITY instead of another psum.
+
+    With ``check_vma=False`` shard_map cannot track replication, so the
+    transpose of ``lax.psum`` is defined as ``psum`` — which double-counts
+    when the cotangent is replicated (here: the loss is computed
+    identically on every spatial shard from the psum'd sums, so the true
+    per-shard partial is exactly the replicated cotangent, once).  The
+    stop_gradient construction keeps the forward value and routes the
+    backward straight through."""
+    return jax.tree_util.tree_map(
+        lambda v: v + jax.lax.stop_gradient(jax.lax.psum(v, axis) - v), x
+    )
 
 
 def _reduce_metrics(metrics: Metrics, axis: str) -> Metrics:
@@ -93,6 +112,17 @@ def _metric_bundle_sums(
         "cm_raw": cm("ir", "pr", "tr"),
         "cm_thresh": cm("it", "pt", "tt"),
     }
+
+
+def _metric_bundle_sums_mc(sums: Metrics) -> Metrics:
+    """Multiclass metric bundle from the fused softmax head's reductions —
+    same values as :func:`_metric_bundle` with ``num_classes > 1``: mean
+    per-class dice from the (B, C) sums, and the argmax confusion matrix
+    (identical raw/thresholded semantics for a softmax head)."""
+    s = SMOOTH
+    dice = jnp.mean((2.0 * sums["i"] + s) / (sums["t"] + sums["p"] + s))
+    cm = jnp.sum(sums["cm"], axis=0)
+    return {"dice": dice, "cm_raw": cm, "cm_thresh": cm}
 
 
 def _metric_bundle(masks: jax.Array, preds: jax.Array, num_classes: int) -> Metrics:
@@ -151,10 +181,10 @@ def make_train_step(
         # partial per shard and MUST be psum'd before any nonlinear use
         # (dice is a ratio of sums), so the spatial step requires the
         # sums-form contract
-        if model.num_classes != 1 or loss_name not in SUMS_LOSSES:
+        if not sums_loss_supported(loss_name, model.num_classes):
             raise ValueError(
-                "the spatially-sharded fused train step needs "
-                f"num_classes == 1 and a sums-form loss (got "
+                "the spatially-sharded fused train step needs a "
+                f"sums-form loss for this head (got "
                 f"num_classes={model.num_classes}, loss={loss_name!r})"
             )
         if model.spatial_axis_name != "spatial" or not (
@@ -166,18 +196,18 @@ def make_train_step(
                 "('data', 'spatial')"
             )
     n_spatial = mesh.shape.get("spatial", 1) if mesh is not None else 1
-    # Fused segmentation head: for the dice-family losses on a binary
-    # Pallas model, the model returns the loss/metric SUMS directly (the
-    # last decoder stage + head + reductions are one kernel pair and the
-    # probability tensor never reaches HBM — ops/pallas/fused_head.py);
-    # loss and the metric bundle come from the sums.  Numerics match the
-    # composed path to reduction order (pinned in tests/test_fused_head.py).
+    # Fused segmentation head: for sums-form losses on a Pallas model
+    # (dice family; + cce for the softmax head), the model returns the
+    # loss/metric SUMS directly (the last decoder stage + head +
+    # reductions are one kernel pair and the probability tensor never
+    # reaches HBM — ops/pallas/fused_head.py); loss and the metric bundle
+    # come from the sums.  Numerics match the composed path to reduction
+    # order (pinned in tests/test_fused_head.py).
     use_head_sums = spatial or (
         model.use_pallas
         and model.use_batch_norm
-        and model.num_classes == 1
         and model.conv_type == "separable"
-        and loss_name in SUMS_LOSSES
+        and sums_loss_supported(loss_name, model.num_classes)
     )
 
     def step_fn(
@@ -213,11 +243,9 @@ def make_train_step(
             if use_head_sums:
                 if spatial:
                     # per-sample sums are partial per row shard — global
-                    # sums before the (nonlinear) loss ratio
-                    out = {
-                        k: jax.lax.psum(v, "spatial")
-                        for k, v in out.items()
-                    }
+                    # sums before the (nonlinear) loss ratio; replicated-
+                    # cotangent psum so grads don't double-count
+                    out = _psum_replicated_cotangent(out, "spatial")
                 loss = loss_from_sums(loss_name, out)
             else:
                 loss = loss_fn_core(_prep_masks(masks, model.num_classes), out)
@@ -248,11 +276,14 @@ def make_train_step(
             batch_stats=new_stats,
             opt_state=new_opt_state,
         )
-        bundle = (
-            _metric_bundle_sums(out, masks, npix_scale=n_spatial)
-            if use_head_sums
-            else _metric_bundle(masks, out, model.num_classes)
-        )
+        if use_head_sums:
+            bundle = (
+                _metric_bundle_sums_mc(out)
+                if model.num_classes > 1
+                else _metric_bundle_sums(out, masks, npix_scale=n_spatial)
+            )
+        else:
+            bundle = _metric_bundle(masks, out, model.num_classes)
         metrics = {"loss": loss, **bundle}
         if spatial:
             # sums (hence cm/dice) are already spatial-global and equal
