@@ -126,8 +126,23 @@ def fit(
         mcfg = cfg.mesh
         if mcfg.spatial_axis != 1 or mcfg.data_axis != -1:
             # explicit mesh from config (``--mesh`` / mesh section): build
-            # exactly what was asked for
-            mesh = create_mesh(data=mcfg.data_axis, spatial=mcfg.spatial_axis)
+            # what was asked for, clamping the spatial axis to the devices
+            # actually present (presets ship multi-chip layouts — e.g.
+            # highres_1024 asks for spatial=2 — but must still run on one
+            # chip)
+            import jax as _jax
+
+            spatial_req = mcfg.spatial_axis
+            n_dev = _jax.device_count()
+            spatial_eff = spatial_req
+            while spatial_eff > 1 and n_dev % spatial_eff:
+                spatial_eff -= 1
+            if spatial_eff != spatial_req and verbose:
+                print(
+                    f"Note: mesh spatial={spatial_req} clamped to "
+                    f"{spatial_eff} ({n_dev} device(s) present)."
+                )
+            mesh = create_mesh(data=mcfg.data_axis, spatial=spatial_eff)
         else:
             # default: largest DP degree that divides the batch (the
             # reference default batch is 2; users shouldn't have to size
@@ -148,23 +163,39 @@ def fit(
                 )
 
     # --- training-path selection (Pallas chains x the mesh) ---
+    import dataclasses as _dc
+
+    from unet_image_segmentation_tpu.ops.losses import sums_loss_supported
+
     n_spatial = mesh.shape.get("spatial", 1)
     n_data = mesh.shape["data"]
     model_cfg = cfg.model
+    depth = len(model_cfg.filters)
+    spatial_fused = False
     if model_cfg.use_pallas and n_spatial > 1:
-        # The fused chains convolve each row shard locally ('same'
-        # padding at shard edges) — only the GSPMD path inserts the halo
-        # exchanges 3x3 convs need across 'spatial' shards. Correctness
-        # over speed: drop to the XLA path, loudly.
-        print(
-            "WARNING: use_pallas training is data-parallel only; the "
-            f"spatial={n_spatial} mesh axis requires GSPMD halo exchange. "
-            "Falling back to the XLA train step (set spatial_axis=1 to "
-            "keep the fused Pallas chains)."
+        # Spatially-sharded fused chains (rows on 'spatial', 1-row
+        # z-space halo exchange per link over ICI — ops/pallas/
+        # fused_train.py spatial section) need the sums-form loss
+        # contract and pool-aligned shard heights; anything else drops
+        # to the GSPMD-XLA step, loudly.
+        spatial_fused = (
+            model_cfg.conv_type == "separable"
+            and model_cfg.use_batch_norm
+            and sums_loss_supported(tcfg.loss, model_cfg.num_classes)
+            and model_cfg.image_height % (n_spatial * 2**depth) == 0
         )
-        import dataclasses as _dc
-
-        model_cfg = _dc.replace(model_cfg, use_pallas=False)
+        if not spatial_fused:
+            print(
+                "WARNING: the spatially-sharded fused train step needs "
+                "conv_type='separable', use_batch_norm, a sums-form loss "
+                "(dice family; + cce for a softmax head) and "
+                f"image_height % {n_spatial * 2**depth} == 0; this "
+                f"configuration (conv_type={model_cfg.conv_type!r}, "
+                f"num_classes={model_cfg.num_classes}, loss={tcfg.loss!r}, "
+                f"H={model_cfg.image_height}) trains on the GSPMD-XLA "
+                "path."
+            )
+            model_cfg = _dc.replace(model_cfg, use_pallas=False)
     use_smap = model_cfg.use_pallas and (n_data * n_spatial) > 1
     if model_cfg.use_pallas and not (
         model_cfg.conv_type == "separable" and model_cfg.use_batch_norm
@@ -176,7 +207,17 @@ def fit(
             f"use_batch_norm={model_cfg.use_batch_norm}) trains on the "
             "XLA path."
         )
-    model = build_unet(model_cfg, bn_axis_name="data" if use_smap else None)
+    if spatial_fused:
+        bn_axis = ("data", "spatial")
+    elif use_smap:
+        bn_axis = "data"
+    else:
+        bn_axis = None
+    model = build_unet(
+        model_cfg,
+        bn_axis_name=bn_axis,
+        spatial_axis_name="spatial" if spatial_fused else None,
+    )
     if state is None:
         state = create_train_state(cfg, model=model)
     else:
@@ -238,7 +279,16 @@ def fit(
                 print(f"Resumed from {last} at epoch {start_epoch}")
 
     train_step = make_train_step(model, tcfg.loss, mesh=mesh if use_smap else None)
-    eval_step = make_eval_step(model, tcfg.loss, mesh=mesh if use_smap else None)
+    if spatial_fused:
+        # validation through the XLA module under GSPMD (running stats,
+        # no batch moments, halos inserted by the partitioner) — the
+        # fused inference kernels are not row-shardable module-side
+        eval_model = build_unet(_dc.replace(model_cfg, use_pallas=False))
+        eval_step = make_eval_step(eval_model, tcfg.loss, mesh=None)
+    else:
+        eval_step = make_eval_step(
+            model, tcfg.loss, mesh=mesh if use_smap else None
+        )
     data_sharding = batch_sharding(mesh, spatial=n_spatial > 1)
 
     def put(batch):
