@@ -164,6 +164,31 @@ def test_many_class_head_returns_none(rng_np):
     assert fh.fused_head_train(x, blocks, w_head, b_head, t) is None
 
 
+def test_default_policy_keeps_multiclass_on_xla_sums_head(rng_np, monkeypatch):
+    """ModelConfig.fused_head == 'auto' (the default) engages the head
+    kernel for the sigmoid head only: a 3-class Pallas model must compute
+    its sums via the XLA reference head (the softmax kernel measured
+    slower than the XLA sums head at 512px — DESIGN.md adjudication)."""
+    calls = []
+    real = fh.fused_head_train
+    monkeypatch.setattr(
+        fh, "fused_head_train", lambda *a, **k: calls.append(1) or real(*a, **k)
+    )
+    _, model, state = _step_fixture(
+        rng_np, use_pallas=True, model__num_classes=3, train__loss="cce"
+    )
+    assert model.fused_head == "auto"
+    images = jnp.asarray(rng_np.rand(2, 32, 32, 3).astype(np.float32))
+    masks = jnp.asarray(
+        rng_np.randint(0, 3, size=(2, 32, 32, 1)).astype(np.float32)
+    )
+    _, metrics = make_train_step(model, "cce", donate=False)(
+        state, images, masks
+    )
+    assert not calls, "softmax head kernel engaged under the 'auto' policy"
+    assert np.isfinite(float(metrics["loss"]))
+
+
 # ---------------------------------------------------------------------------
 # Multiclass (softmax + CCE + argmax CM) head
 # ---------------------------------------------------------------------------
@@ -299,9 +324,13 @@ def test_multiclass_train_step_matches_xla_step(rng_np):
     images = rng_np.rand(2, 32, 32, 3).astype(np.float32)
     masks = rng_np.randint(0, 3, size=(2, 32, 32, 1)).astype(np.float32)
 
+    # the softmax kernel is opt-in ('auto' keeps multiclass on the XLA
+    # sums head — measured faster at 512px); this test pins the kernel
     over = dict(model__num_classes=3, train__loss="cce")
     _, m_x, s_x = _step_fixture(rng_np, use_pallas=False, **over)
-    _, m_p, s_p = _step_fixture(rng_np, use_pallas=True, **over)
+    _, m_p, s_p = _step_fixture(
+        rng_np, use_pallas=True, model__fused_head="all", **over
+    )
     n_x, met_x = make_train_step(m_x, "cce", donate=False)(
         s_x, jnp.asarray(images), jnp.asarray(masks)
     )

@@ -53,6 +53,16 @@ class ModelConfig:
     # whenever the fused chains are active, else 'rng'.  Same per-element
     # Bernoulli(rate) distribution either way (reference model/u_net.py:75-99).
     dropout_impl: str = "auto"
+    # Fused segmentation-head kernel policy (ops/pallas/fused_head.py):
+    # 'auto' engages it for the sigmoid head only (num_classes == 1, a
+    # measured win: +38 img/s at 256px/b32); the softmax kernel pair is
+    # built and parity-pinned but measured SLOWER than the XLA sums head
+    # (512px/b8 3-class: 62.8 vs 59.8 ms/step — the per-class panels are
+    # VPU-bound at p/128 live lanes, see DESIGN.md), so multiclass stays
+    # on the XLA sums path unless 'all' is set.  'off' disables the
+    # kernel for the sigmoid head too (A/B lever).  Loss/metric values
+    # are path-independent either way.
+    fused_head: str = "auto"
 
     @property
     def input_shape(self) -> Tuple[int, int, int]:

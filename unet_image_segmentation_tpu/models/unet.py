@@ -53,6 +53,11 @@ class UNet(nn.Module):
     bn_axis_name: Optional[Any] = None  # str, or tuple incl. the spatial axis
     use_pallas: bool = False
     dropout_impl: str = "auto"  # 'auto' | 'hash' | 'rng' (see ModelConfig)
+    # Fused head-kernel policy: 'auto' = sigmoid head only (measured win);
+    # 'all' = also the softmax head (measured LOSS at 512px — the
+    # multiclass panels are VPU-bound at p/128 live lanes, DESIGN.md);
+    # 'off' = never (numerics are path-independent, see ModelConfig).
+    fused_head: str = "auto"
     # Mesh axis carrying sharded image rows (set when the train step runs
     # the fused chains inside shard_map on a ('data', 'spatial') mesh):
     # every chain link exchanges 1-row z-space halos over ICI and
@@ -177,7 +182,10 @@ class UNet(nn.Module):
                     x, drop_seed, drop_rate, packed=in_packed or 1
                 )
                 drop_rate, drop_seed = 0.0, None
-            if fuse_head and drop_rate == 0.0:
+            head_kernel_ok = self.fused_head == "all" or (
+                self.fused_head == "auto" and self.num_classes == 1
+            )
+            if fuse_head and head_kernel_ok and drop_rate == 0.0:
                 # Fused segmentation head: this (final) decoder stage, the
                 # 1x1-conv + sigmoid head, and the loss/metric reductions
                 # run as one kernel pair on the chain's packed layout
@@ -519,6 +527,7 @@ def build_unet(
         bn_axis_name=bn_axis_name,
         use_pallas=cfg.use_pallas,
         dropout_impl=getattr(cfg, "dropout_impl", "auto"),
+        fused_head=getattr(cfg, "fused_head", "auto"),
         spatial_axis_name=spatial_axis_name,
     )
 

@@ -36,6 +36,17 @@ expanded tensor's HBM bytes (both kernels stream it), and binary 0/1
 masks (the ``num_classes == 1`` contract) are exact; the kernels
 upcast to float32 in VMEM.
 
+The softmax head (``2 <= num_classes <= MAX_MC_CLASSES``) has the same
+kernel pair (per-class dice sums, clipped-CCE sum, argmax confusion
+matrix) — parity-pinned, but **measured slower than the XLA sums head**
+(512px/b8 3-class: 62.8 vs 59.8 ms/step; kernel-level fwd 3.71 ms vs a
+0.49 ms DMA floor): every per-class ``(N, 128)`` panel has only ``p``
+live lanes (p=2 at F=64), so the ~6x pass count multiplies VPU time the
+materialized-probability XLA head (a ~25 MB tensor at 512px) never
+spends.  ``ModelConfig.fused_head`` therefore defaults the softmax
+kernel OFF ('auto' = sigmoid only); 'all' opts in.  See DESIGN.md
+"Fused multiclass head" for the full adjudication.
+
 Numerics mirror the composed XLA head at the model's compute dtype: the
 logits round to that dtype before the float32 sigmoid (``models/unet.py``
 casts the conv output; ``ops/conv.py:74-81`` dots with
