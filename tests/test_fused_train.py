@@ -221,3 +221,84 @@ def test_chain_bwd_phase_bf16(monkeypatch):
         )
         changed = changed or bool(jnp.any(a != b))
     assert changed, "bf16 phase did not engage (grads bit-identical)"
+
+
+# ---------------------------------------------------------------------------
+# Streamed pool-tail kernels: at 1024px-class shapes the whole-batch-item
+# pooled block no longer fits VMEM and the tail used to fall back to
+# composed XLA; the stream variants DMA the pooled tensor per tile instead.
+# The math is identical — stream vs resident must be bit-exact.
+# ---------------------------------------------------------------------------
+
+
+def _tail_fixture(rng, B=1, H=64, WP=32, P=4, F=64):
+    y = jnp.asarray(rng.randn(B, H, WP, P * F), jnp.float32)
+    a = jnp.asarray(1.0 + 0.1 * rng.randn(F), jnp.float32)
+    b = jnp.asarray(0.05 * rng.randn(F), jnp.float32)
+    return y, a, b
+
+
+def test_tail_pool_stream_matches_resident(monkeypatch):
+    from unet_image_segmentation_tpu.ops.pallas import fused_sepconv as fs
+    from unet_image_segmentation_tpu.ops.pallas import fused_train as ft
+
+    rng = np.random.RandomState(3)
+    B, H, WP, P, F = 1, 64, 32, 4, 64  # pf=256, pf//2=128 (streamable)
+    y, a, b = _tail_fixture(rng, B, H, WP, P, F)
+
+    assert ft._pick_tile_h_tail(H, WP, P * F, bwd=False) is not None
+    z_res, p_res = ft._tail_pool_packed(y, a, b, P, F)
+
+    # a budget where the resident pooled block can't fit but the
+    # streamed per-tile slab can
+    monkeypatch.setattr(fs, "VMEM_SCALE", 0.07)
+    assert ft._pick_tile_h_tail(H, WP, P * F, bwd=False) is None
+    assert ft._pick_tile_h_tail(H, WP, P * F, bwd=False, stream=True) is not None
+    out = ft._tail_pool_packed(y, a, b, P, F)
+    assert out is not None
+    z_st, p_st = out
+    np.testing.assert_array_equal(np.asarray(z_st), np.asarray(z_res))
+    np.testing.assert_array_equal(np.asarray(p_st), np.asarray(p_res))
+
+
+def test_tail_pool_bwd_stream_matches_resident(monkeypatch):
+    from unet_image_segmentation_tpu.ops.pallas import fused_sepconv as fs
+    from unet_image_segmentation_tpu.ops.pallas import fused_train as ft
+
+    rng = np.random.RandomState(4)
+    B, H, WP, P, F = 1, 64, 32, 4, 64
+    y, a, b = _tail_fixture(rng, B, H, WP, P, F)
+    gs = jnp.asarray(rng.randn(B, H, WP, P * F), jnp.float32)
+    gp = jnp.asarray(rng.randn(B, H // 2, WP, P * F // 2), jnp.float32)
+    mean = jnp.asarray(0.1 * rng.randn(F), jnp.float32)
+    rstd = jnp.asarray(1.0 + 0.1 * rng.rand(F), jnp.float32)
+    aff4 = jnp.stack([a, b, mean, rstd])
+
+    assert ft._pick_tile_h_tail(H, WP, P * F, bwd=True) is not None
+    d_res, st_res = ft._tail_pool_bwd_packed(y, gs, gp, aff4, P, F)
+
+    monkeypatch.setattr(fs, "VMEM_SCALE", 0.1)
+    assert ft._pick_tile_h_tail(H, WP, P * F, bwd=True) is None
+    assert ft._pick_tile_h_tail(H, WP, P * F, bwd=True, stream=True) is not None
+    out = ft._tail_pool_bwd_packed(y, gs, gp, aff4, P, F)
+    assert out is not None
+    d_st, st_st = out
+    # dzt is elementwise — bit-exact; the S/T column sums accumulate in a
+    # different tile order (stream picks a smaller tile), so f32 only
+    np.testing.assert_array_equal(np.asarray(d_st), np.asarray(d_res))
+    np.testing.assert_allclose(
+        np.asarray(st_st), np.asarray(st_res), rtol=1e-5, atol=1e-4
+    )
+
+
+def test_tail_pool_sub_lane_shapes_still_fall_back(monkeypatch):
+    """pf//2 < LANE can't ride the streamed DMA (Mosaic lane tiling):
+    when the resident block doesn't fit either, the tail returns None
+    (the chain composes the boundary in XLA) instead of crashing."""
+    from unet_image_segmentation_tpu.ops.pallas import fused_sepconv as fs
+    from unet_image_segmentation_tpu.ops.pallas import fused_train as ft
+
+    rng = np.random.RandomState(5)
+    y, a, b = _tail_fixture(rng, B=1, H=64, WP=32, P=2, F=64)  # pf//2 = 64
+    monkeypatch.setattr(fs, "VMEM_SCALE", 0.01)
+    assert ft._tail_pool_packed(y, a, b, 2, 64) is None

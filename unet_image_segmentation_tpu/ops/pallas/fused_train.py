@@ -547,6 +547,101 @@ def _tail_pool_kernel(
     z_copy(n_tiles - 1, jax.lax.rem(n_tiles - 1, 2)).wait()
 
 
+def _tail_pool_kernel_stream(
+    y_hbm,      # (B, H, Wp, pF) ANY — last block's raw output
+    aff_ref,    # (2, pF) VMEM: a, b (batch-stat affine, tiled p times)
+    z_hbm,      # (B, H, Wp, pF) ANY — z = relu(a*y+b) (the skip)
+    p_hbm,      # (B, H//2, Wp, pF//2) ANY — pool(z), packed p//2, DMA'd
+                #   per tile (pF//2 >= LANE, so manual slices keep Mosaic's
+                #   lane tiling) — the resident variant's whole-batch-item
+                #   pooled block doesn't fit VMEM at 1024px-class shapes
+    ybuf,       # scratch (2, TH, Wp, pF)
+    zbuf,       # scratch (2, TH, Wp, pF)
+    pbuf,       # scratch (2, TH//2, Wp, pF//2)
+    in_sems,    # (2,)
+    z_sems,     # (2,)
+    p_sems,     # (2,)
+    *,
+    tile_h: int,
+    n_tiles: int,
+    p: int,
+    f: int,
+):
+    b = pl.program_id(0)
+    wp = ybuf.shape[2]
+    pf = ybuf.shape[3]
+    th2 = tile_h // 2
+    sel_e, sel_o = _pool_sel_mats(pf, f, ybuf.dtype)
+
+    def start_in(j, slot):
+        pltpu.make_async_copy(
+            y_hbm.at[b, pl.ds(j * tile_h, tile_h)],
+            ybuf.at[slot],
+            in_sems.at[slot],
+        ).start()
+
+    def wait_in(j, slot):
+        pltpu.make_async_copy(
+            y_hbm.at[b, pl.ds(j * tile_h, tile_h)],
+            ybuf.at[slot],
+            in_sems.at[slot],
+        ).wait()
+
+    def z_copy(j, slot):
+        return pltpu.make_async_copy(
+            zbuf.at[slot],
+            z_hbm.at[b, pl.ds(j * tile_h, tile_h)],
+            z_sems.at[slot],
+        )
+
+    def p_copy(j, slot):
+        return pltpu.make_async_copy(
+            pbuf.at[slot],
+            p_hbm.at[b, pl.ds(j * th2, th2)],
+            p_sems.at[slot],
+        )
+
+    start_in(0, 0)
+
+    def body(j, _):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < n_tiles)
+        def _():
+            start_in(j + 1, jax.lax.rem(j + 1, 2))
+
+        wait_in(j, slot)
+
+        @pl.when(j >= 2)
+        def _():
+            z_copy(j - 2, slot).wait()
+            p_copy(j - 2, slot).wait()
+
+        zf = (
+            ybuf[slot].astype(jnp.float32) * aff_ref[0][None, None, :]
+            + aff_ref[1][None, None, :]
+        )
+        zc = jnp.maximum(zf, 0.0).astype(zbuf.dtype)
+        zbuf[slot] = zc
+        z_copy(j, slot).start()
+        # pool over the CAST values: matches pooling the stored bf16 z
+        pbuf[slot] = _pool_tile(zc, tile_h, wp, pf, sel_e, sel_o)
+        p_copy(j, slot).start()
+        return ()
+
+    jax.lax.fori_loop(0, n_tiles, body, (), unroll=False)
+
+    @pl.when(n_tiles >= 2)
+    def _():
+        s = jax.lax.rem(n_tiles - 2, 2)
+        z_copy(n_tiles - 2, s).wait()
+        p_copy(n_tiles - 2, s).wait()
+
+    s_last = jax.lax.rem(n_tiles - 1, 2)
+    z_copy(n_tiles - 1, s_last).wait()
+    p_copy(n_tiles - 1, s_last).wait()
+
+
 def _tail_pool_kernel_p1(
     y_hbm,      # (B, H, W, F) ANY — last block's raw output (UNPACKED)
     aff_ref,    # (2, F) VMEM: a, b
@@ -863,18 +958,27 @@ def _tail_pool_bwd_p1(
     return d, st
 
 
-def _pick_tile_h_tail(h: int, wp: int, pf: int, bwd: bool) -> Optional[int]:
+def _pick_tile_h_tail(
+    h: int, wp: int, pf: int, bwd: bool, stream: bool = False
+) -> Optional[int]:
     budget = fs.vmem_budget(8)
     slack = 1.3
     n_full = 3 if not bwd else 4  # fwd: y,z + f32 temp; bwd: y,gs,d + temps
-    # the pooled (pf//2-lane) block is VMEM-resident for the whole batch
-    # item: (h//2, wp, pf//2) padded to a full 128-lane tile
-    resident = (h // 2) * wp * max(pf // 2, fs.LANE) * 2
+    # resident mode: the pooled (pf//2-lane) block sits in VMEM for the
+    # whole batch item — (h//2, wp, pf//2) padded to a full 128-lane tile.
+    # stream mode (pf//2 >= LANE only): the pooled block is DMA'd per tile
+    # instead, so only its double-buffered (tile//2)-row slab counts —
+    # this is what lets the 1024px-class shapes fuse at all.
+    resident = 0 if stream else (h // 2) * wp * max(pf // 2, fs.LANE) * 2
     for tile in (64, 32, 16, 8, 4, 2):
         if h % tile or tile % 2:
             continue
+        pooled = (
+            2 * (tile // 2) * wp * max(pf // 2, fs.LANE) * 2 if stream else 0
+        )
         working = (
             resident
+            + pooled
             + 2 * n_full * tile * wp * pf * 2
             + (4 if bwd else 2) * tile * wp * pf * 4  # f32 temporaries
         )
@@ -898,7 +1002,13 @@ def _tail_pool_packed(
     bsz, h, wp, pf = y_p.shape
     if p < 2:
         return None
+    stream = False
     tile_h = _pick_tile_h_tail(h, wp, pf, bwd=False)
+    if tile_h is None and pf // 2 >= fs.LANE:
+        # the whole-batch-item resident pooled block doesn't fit (1024px-
+        # class shapes): stream the pooled output per tile instead
+        stream = True
+        tile_h = _pick_tile_h_tail(h, wp, pf, bwd=False, stream=True)
     if tile_h is None:
         return None
     n_tiles = h // tile_h
@@ -906,8 +1016,22 @@ def _tail_pool_packed(
         [jnp.tile(a.astype(jnp.float32), p), jnp.tile(b_.astype(jnp.float32), p)]
     )
     kernel = functools.partial(
-        _tail_pool_kernel, tile_h=tile_h, n_tiles=n_tiles, p=p, f=f
+        _tail_pool_kernel_stream if stream else _tail_pool_kernel,
+        tile_h=tile_h, n_tiles=n_tiles, p=p, f=f,
     )
+    pool_space = pl.ANY if stream else pltpu.VMEM
+    scratch = [
+        pltpu.VMEM((2, tile_h, wp, pf), y_p.dtype),
+        pltpu.VMEM((2, tile_h, wp, pf), y_p.dtype),
+    ]
+    if stream:
+        scratch.append(pltpu.VMEM((2, tile_h // 2, wp, pf // 2), y_p.dtype))
+    scratch += [
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if stream:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
     z_p, pool_p = pl.pallas_call(
         kernel,
         grid=(bsz,),
@@ -917,7 +1041,9 @@ def _tail_pool_packed(
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(
+            pl.BlockSpec(memory_space=pl.ANY)
+            if stream
+            else pl.BlockSpec(
                 (1, h // 2, wp, pf // 2),
                 lambda bi: (bi, 0, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -927,12 +1053,7 @@ def _tail_pool_packed(
             jax.ShapeDtypeStruct((bsz, h, wp, pf), y_p.dtype),
             jax.ShapeDtypeStruct((bsz, h // 2, wp, pf // 2), y_p.dtype),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((2, tile_h, wp, pf), y_p.dtype),
-            pltpu.VMEM((2, tile_h, wp, pf), y_p.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=bsz * h * wp * pf * 5,
             bytes_accessed=int(2.25 * bsz * h * wp * pf) * y_p.dtype.itemsize,
@@ -1077,6 +1198,146 @@ def _tail_pool_bwd_kernel(
         st_ref[...] = st_ref[...] + st_acc[...]
 
 
+def _tail_pool_bwd_kernel_stream(
+    y_hbm,      # (B, H, Wp, pF) ANY — raw activations
+    gs_hbm,     # (B, H, Wp, pF) ANY — skip (z) cotangent
+    gp_hbm,     # (B, H//2, Wp, pF//2) ANY — pooled cotangent, packed
+                #   p//2, streamed per tile (pF//2 >= LANE): the resident
+                #   whole-batch-item block doesn't fit VMEM at
+                #   1024px-class shapes
+    aff_ref,    # (4, pF) VMEM: a, b, mean, rstd
+    d_hbm,      # (B, H, Wp, pF) ANY — dzt (ReLU-masked z-space gradient)
+    st_ref,     # (8, pF) VMEM: row0 S=sum(dzt), row1 T=sum(dzt*yhat)
+    ybuf,       # scratch (2, TH, Wp, pF)
+    gsbuf,      # scratch (2, TH, Wp, pF)
+    gpbuf,      # scratch (2, TH//2, Wp, pF//2)
+    dbuf,       # scratch (2, TH, Wp, pF)
+    st_acc,     # scratch (8, pF) f32
+    in_sems,    # (2, 3)
+    out_sems,   # (2,)
+    *,
+    tile_h: int,
+    n_tiles: int,
+    p: int,
+    f: int,
+):
+    b = pl.program_id(0)
+    wp = ybuf.shape[2]
+    pf = ybuf.shape[3]
+    th2 = tile_h // 2
+    sel_e, sel_o = _pool_sel_mats(pf, f, ybuf.dtype)
+    exp_e, exp_o = _pool_expand_mats(pf, f, ybuf.dtype)
+
+    def start_in(j, slot):
+        pltpu.make_async_copy(
+            y_hbm.at[b, pl.ds(j * tile_h, tile_h)], ybuf.at[slot],
+            in_sems.at[slot, 0],
+        ).start()
+        pltpu.make_async_copy(
+            gs_hbm.at[b, pl.ds(j * tile_h, tile_h)], gsbuf.at[slot],
+            in_sems.at[slot, 1],
+        ).start()
+        pltpu.make_async_copy(
+            gp_hbm.at[b, pl.ds(j * th2, th2)], gpbuf.at[slot],
+            in_sems.at[slot, 2],
+        ).start()
+
+    def wait_in(j, slot):
+        pltpu.make_async_copy(
+            y_hbm.at[b, pl.ds(j * tile_h, tile_h)], ybuf.at[slot],
+            in_sems.at[slot, 0],
+        ).wait()
+        pltpu.make_async_copy(
+            gs_hbm.at[b, pl.ds(j * tile_h, tile_h)], gsbuf.at[slot],
+            in_sems.at[slot, 1],
+        ).wait()
+        pltpu.make_async_copy(
+            gp_hbm.at[b, pl.ds(j * th2, th2)], gpbuf.at[slot],
+            in_sems.at[slot, 2],
+        ).wait()
+
+    def out_copy(j, slot):
+        return pltpu.make_async_copy(
+            dbuf.at[slot],
+            d_hbm.at[b, pl.ds(j * tile_h, tile_h)],
+            out_sems.at[slot],
+        )
+
+    st_acc[...] = jnp.zeros((8, pf), jnp.float32)
+    start_in(0, 0)
+
+    def body(j, _):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < n_tiles)
+        def _():
+            start_in(j + 1, jax.lax.rem(j + 1, 2))
+
+        wait_in(j, slot)
+
+        @pl.when(j >= 2)
+        def _():
+            out_copy(j - 2, slot).wait()
+
+        yf = ybuf[slot].astype(jnp.float32)
+        w = yf * aff_ref[0][None, None, :] + aff_ref[1][None, None, :]
+        zc = jnp.maximum(w, 0.0).astype(ybuf.dtype)  # cast: fwd tie parity
+
+        # first-max select-and-scatter via the same 0/1 matmuls as the
+        # resident kernel — only the gp source differs (streamed slab)
+        pfh = pf // 2
+        zc2 = zc.reshape(tile_h * wp, pf)
+        zE = jax.lax.dot(zc2, sel_e, preferred_element_type=jnp.float32)
+        zO = jax.lax.dot(zc2, sel_o, preferred_element_type=jnp.float32)
+        zE = zE.reshape(th2, 2, wp, pfh)
+        zO = zO.reshape(th2, 2, wp, pfh)
+        a00, a10 = zE[:, 0], zE[:, 1]
+        a01, a11 = zO[:, 0], zO[:, 1]
+        m00 = (a00 >= a01) & (a00 >= a10) & (a00 >= a11)
+        m01 = (a01 > a00) & (a01 >= a10) & (a01 >= a11)
+        m10 = (a10 > a00) & (a10 > a01) & (a10 >= a11)
+        m11 = (a11 > a00) & (a11 > a01) & (a11 > a10)
+        gpg = gpbuf[slot]
+        zero = jnp.zeros_like(gpg)
+        g00 = jnp.where(m00, gpg, zero)
+        g01 = jnp.where(m01, gpg, zero)
+        g10 = jnp.where(m10, gpg, zero)
+        g11 = jnp.where(m11, gpg, zero)
+        lg = jnp.stack([g00, g10], axis=1).reshape(tile_h * wp, pfh)
+        rg = jnp.stack([g01, g11], axis=1).reshape(tile_h * wp, pfh)
+        gp_full = (
+            jax.lax.dot(lg, exp_e, preferred_element_type=jnp.float32)
+            + jax.lax.dot(rg, exp_o, preferred_element_type=jnp.float32)
+        ).reshape(tile_h, wp, pf)
+
+        g_z = gsbuf[slot].astype(jnp.float32) + gp_full.astype(jnp.float32)
+        dzt = jnp.where(w > 0, g_z, 0.0)
+        yhat = (yf - aff_ref[2][None, None, :]) * aff_ref[3][None, None, :]
+        st_acc[0, :] = st_acc[0, :] + jnp.sum(dzt, axis=(0, 1))
+        st_acc[1, :] = st_acc[1, :] + jnp.sum(dzt * yhat, axis=(0, 1))
+        dbuf[slot] = dzt.astype(dbuf.dtype)
+        out_copy(j, slot).start()
+        return ()
+
+    jax.lax.fori_loop(0, n_tiles, body, (), unroll=False)
+
+    @pl.when(n_tiles >= 2)
+    def _():
+        out_copy(n_tiles - 2, jax.lax.rem(n_tiles - 2, 2)).wait()
+
+    out_copy(n_tiles - 1, jax.lax.rem(n_tiles - 1, 2)).wait()
+
+    first = b == 0
+
+    @pl.when(first)
+    def _():
+        st_ref[...] = st_acc[...]
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        st_ref[...] = st_ref[...] + st_acc[...]
+
+
 def _tail_pool_bwd_packed(
     y_p: jax.Array,     # (B, H, Wp, pF)
     gs_p: jax.Array,    # (B, H, Wp, pF)
@@ -1089,21 +1350,43 @@ def _tail_pool_bwd_packed(
     bsz, h, wp, pf = y_p.shape
     if p < 2:
         return None
+    stream = False
     tile_h = _pick_tile_h_tail(h, wp, pf, bwd=True)
+    if tile_h is None and pf // 2 >= fs.LANE:
+        # stream the pooled cotangent per tile (see the forward variant)
+        stream = True
+        tile_h = _pick_tile_h_tail(h, wp, pf, bwd=True, stream=True)
     if tile_h is None:
         return None
     n_tiles = h // tile_h
     aff = jnp.tile(aff4.astype(jnp.float32), (1, p))
     kernel = functools.partial(
-        _tail_pool_bwd_kernel, tile_h=tile_h, n_tiles=n_tiles, p=p, f=f
+        _tail_pool_bwd_kernel_stream if stream else _tail_pool_bwd_kernel,
+        tile_h=tile_h, n_tiles=n_tiles, p=p, f=f,
     )
+    scratch = [
+        pltpu.VMEM((2, tile_h, wp, pf), y_p.dtype),
+        pltpu.VMEM((2, tile_h, wp, pf), gs_p.dtype),
+    ]
+    if stream:
+        scratch.append(
+            pltpu.VMEM((2, tile_h // 2, wp, pf // 2), gp_p.dtype)
+        )
+    scratch += [
+        pltpu.VMEM((2, tile_h, wp, pf), y_p.dtype),
+        pltpu.VMEM((8, pf), jnp.float32),
+        pltpu.SemaphoreType.DMA((2, 3) if stream else (2, 2)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
     d_p, st_p = pl.pallas_call(
         kernel,
         grid=(bsz,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(
+            pl.BlockSpec(memory_space=pl.ANY)
+            if stream
+            else pl.BlockSpec(
                 (1, h // 2, wp, pf // 2),
                 lambda bi: (bi, 0, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -1118,14 +1401,7 @@ def _tail_pool_bwd_packed(
             jax.ShapeDtypeStruct((bsz, h, wp, pf), y_p.dtype),
             jax.ShapeDtypeStruct((8, pf), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((2, tile_h, wp, pf), y_p.dtype),
-            pltpu.VMEM((2, tile_h, wp, pf), gs_p.dtype),
-            pltpu.VMEM((2, tile_h, wp, pf), y_p.dtype),
-            pltpu.VMEM((8, pf), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=bsz * h * wp * pf * 12,
             bytes_accessed=int(3.25 * bsz * h * wp * pf) * y_p.dtype.itemsize,
