@@ -917,6 +917,9 @@ def _sepconv_pair_kernel_db(
     pool_f: int = 0,   # F2 when a fused 2x2 pool output is requested
     two_stream: bool = False,  # x + x2 interleaved per f-chunk in VMEM
     quant_out: bool = False,   # round+clip y2 to int8 (scales pre-folded)
+    n_strips: int = 1,  # column strips (wide-row mode, see docstring)
+    sw: int = 0,        # output columns (wp slices) per strip
+    hs: int = 0,        # column halo wp-slices per side (1 if p>=2 else 2)
 ):
     """Two chained sepconv+BN+ReLU blocks per tile; the intermediate
     activation never leaves VMEM (one fewer full HBM round trip per
