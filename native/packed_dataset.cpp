@@ -59,9 +59,21 @@ inline const uint8_t* record_ptr(const Pack* p, int64_t idx) {
   return p->base + kHeaderSize + static_cast<size_t>(idx) * p->record_bytes;
 }
 
+// Exact uint8 -> float32 normalization table: lut[v] = (float)v / divisor,
+// the correctly-rounded float division — BIT-IDENTICAL to the Python
+// loader's `u8.astype(float32) / 255.0` (a pre-rounded reciprocal multiply
+// is off by 1 ulp on ~38% of values).  256 floats live in L1; the lookup
+// is also faster than the multiply it replaces.
+struct NormLut {
+  float v[256];
+  explicit NormLut(float divisor) {
+    for (int i = 0; i < 256; ++i) v[i] = static_cast<float>(i) / divisor;
+  }
+};
+
 // Normalize + optional h-flip one sample into the output slot.
-void emit_sample(const Pack* p, int64_t idx, bool flip, float img_scale,
-                 float mask_scale, float* img_out, float* mask_out) {
+void emit_sample(const Pack* p, int64_t idx, bool flip, const NormLut& img_lut,
+                 const NormLut& mask_lut, float* img_out, float* mask_out) {
   const uint8_t* img = record_ptr(p, idx);
   const uint8_t* msk = img + p->image_bytes;
   const int h = static_cast<int>(p->hdr.h);
@@ -71,9 +83,9 @@ void emit_sample(const Pack* p, int64_t idx, bool flip, float img_scale,
 
   if (!flip) {
     const size_t in_px = static_cast<size_t>(h) * w * ic;
-    for (size_t i = 0; i < in_px; ++i) img_out[i] = img[i] * img_scale;
+    for (size_t i = 0; i < in_px; ++i) img_out[i] = img_lut.v[img[i]];
     const size_t mk_px = static_cast<size_t>(h) * w * mc;
-    for (size_t i = 0; i < mk_px; ++i) mask_out[i] = msk[i] * mask_scale;
+    for (size_t i = 0; i < mk_px; ++i) mask_out[i] = mask_lut.v[msk[i]];
     return;
   }
   // horizontal flip: reverse the W axis of HWC rows
@@ -83,14 +95,14 @@ void emit_sample(const Pack* p, int64_t idx, bool flip, float img_scale,
     for (int x = 0; x < w; ++x) {
       const uint8_t* src = irow + static_cast<size_t>(w - 1 - x) * ic;
       float* dst = orow + static_cast<size_t>(x) * ic;
-      for (int c = 0; c < ic; ++c) dst[c] = src[c] * img_scale;
+      for (int c = 0; c < ic; ++c) dst[c] = img_lut.v[src[c]];
     }
     const uint8_t* mrow = msk + static_cast<size_t>(y) * w * mc;
     float* mout = mask_out + static_cast<size_t>(y) * w * mc;
     for (int x = 0; x < w; ++x) {
       const uint8_t* src = mrow + static_cast<size_t>(w - 1 - x) * mc;
       float* dst = mout + static_cast<size_t>(x) * mc;
-      for (int c = 0; c < mc; ++c) dst[c] = src[c] * mask_scale;
+      for (int c = 0; c < mc; ++c) dst[c] = mask_lut.v[src[c]];
     }
   }
 }
@@ -152,17 +164,27 @@ void pd_info(void* handle, int64_t* out) {
   out[5] = p->hdr.mask_is_class_id;
 }
 
+// ABI version of this library.  v2: pd_fill_batch takes DIVISORS
+// (255.0 / 1.0), normalizing via an exact division LUT; v1 took
+// pre-rounded reciprocal scales (1-ulp off vs the Python loader).
+// The Python wrapper refuses (and rebuilds) anything older.
+int pd_abi_version() { return 2; }
+
 // Gather `count` samples by index into dense float batches.
 //   indices:   int64[count]
 //   flips:     uint8[count] (0/1), may be nullptr
+//   img_div:   uint8 normalization divisor for images (255.0)
+//   mask_div:  divisor for masks (255.0 binary, 1.0 class-id)
 //   img_out:   float32[count * h * w * img_c]
 //   mask_out:  float32[count * h * w * mask_c]
 // Returns 0 on success, -1 on bad args.
 int pd_fill_batch(void* handle, const int64_t* indices, int64_t count,
-                  const uint8_t* flips, float img_scale, float mask_scale,
+                  const uint8_t* flips, float img_div, float mask_div,
                   float* img_out, float* mask_out, int num_threads) {
   auto* p = static_cast<Pack*>(handle);
   if (!p || count <= 0) return -1;
+  const NormLut img_lut(img_div);
+  const NormLut mask_lut(mask_div);
   for (int64_t i = 0; i < count; ++i) {
     if (indices[i] < 0 || indices[i] >= static_cast<int64_t>(p->hdr.n))
       return -1;
@@ -178,7 +200,7 @@ int pd_fill_batch(void* handle, const int64_t* indices, int64_t count,
       const int64_t i = next.fetch_add(1);
       if (i >= count) break;
       const bool flip = flips != nullptr && flips[i] != 0;
-      emit_sample(p, indices[i], flip, img_scale, mask_scale,
+      emit_sample(p, indices[i], flip, img_lut, mask_lut,
                   img_out + static_cast<size_t>(i) * img_px,
                   mask_out + static_cast<size_t>(i) * mask_px);
     }

@@ -90,6 +90,15 @@ class DataConfig:
     shuffle_val: bool = False
     num_workers: int = 8
     prefetch: int = 4
+    # Auto-pack the directory dataset on first epoch (data/autopack.py):
+    # decode once, then serve every later epoch from the mmap'd packed
+    # reader at thousands of img/s instead of re-decoding (the reference's
+    # ImageDataGenerator re-decodes every epoch, train.py:182-206).
+    # The cache lands in <data root>/.unet_tpu_pack/ (or pack_dir /
+    # <model_out>/.unet_tpu_pack/ when the dataset dir is read-only) and
+    # is keyed on a content signature, so dataset edits re-pack.
+    auto_pack: bool = True
+    pack_dir: Optional[str] = None
 
 
 @dataclass

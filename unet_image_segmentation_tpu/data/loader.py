@@ -159,6 +159,11 @@ class DirectoryDataset:
             masks = np.stack([s[1] for s in samples])
             return imgs, masks
 
+        # A pool wider than the host loses: on a 1-CPU box 8 workers
+        # measured 48 img/s vs 116 serial (GIL + future churn with no
+        # parallel decode to buy).  cv2 only releases the GIL per-call,
+        # so extra threads beyond the core count are pure overhead.
+        num_workers = min(num_workers, os.cpu_count() or 1)
         if num_workers <= 1:
             for b in range(n_batches):
                 yield make_batch(b)

@@ -42,29 +42,41 @@ _lib = None
 _lib_tried = False
 
 
+_ABI_VERSION = 2  # must match pd_abi_version() in packed_dataset.cpp
+
+
+def _dlopen_checked() -> Optional[ctypes.CDLL]:
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+        if int(lib.pd_abi_version()) != _ABI_VERSION:
+            return None
+    except (OSError, AttributeError):
+        return None
+    return lib
+
+
 def _load_native() -> Optional[ctypes.CDLL]:
-    """dlopen the loader, building it with g++ on first use if needed."""
+    """dlopen the loader, (re)building it with g++ when missing or when the
+    on-disk .so predates the current ABI (pd_abi_version check)."""
     global _lib, _lib_tried
     if _lib is not None or _lib_tried:
         return _lib
     _lib_tried = True
-    if not os.path.exists(_LIB_PATH):
+    lib = _dlopen_checked() if os.path.exists(_LIB_PATH) else None
+    if lib is None:
         src = os.path.join(_NATIVE_DIR, "packed_dataset.cpp")
         if os.path.exists(src):
             try:
                 subprocess.run(
-                    ["make", "-C", _NATIVE_DIR],
+                    ["make", "-B", "-C", _NATIVE_DIR],
                     check=True,
                     capture_output=True,
                     timeout=120,
                 )
             except Exception:
                 return None
-    if not os.path.exists(_LIB_PATH):
-        return None
-    try:
-        lib = ctypes.CDLL(_LIB_PATH)
-    except OSError:
+        lib = _dlopen_checked()
+    if lib is None:
         return None
     lib.pd_open.restype = ctypes.c_void_p
     lib.pd_open.argtypes = [ctypes.c_char_p]
@@ -175,7 +187,9 @@ class PackedDataset:
                 path, dtype=np.uint8, mode="r", offset=_HEADER_SIZE,
                 shape=(self.n, record),
             )
-        self.mask_scale = 1.0 if self.mask_is_class_id else 1.0 / 255.0
+        # normalization DIVISORS (exact float division, bit-identical to
+        # the directory loader's `u8.astype(float32) / 255.0`)
+        self.mask_div = 1.0 if self.mask_is_class_id else 255.0
 
     def __len__(self) -> int:
         return int(self.n)
@@ -205,8 +219,8 @@ class PackedDataset:
                 indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                 b,
                 flips.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                ctypes.c_float(1.0 / 255.0),
-                ctypes.c_float(self.mask_scale),
+                ctypes.c_float(255.0),
+                ctypes.c_float(self.mask_div),
                 imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                 masks.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                 self.num_threads,
@@ -224,7 +238,7 @@ class PackedDataset:
                 img = img[:, ::-1]
                 msk = msk[:, ::-1]
             imgs[j] = img.astype(np.float32) / 255.0
-            masks[j] = msk.astype(np.float32) * self.mask_scale
+            masks[j] = msk.astype(np.float32) / self.mask_div
         return imgs, masks
 
     def epoch_order(self, epoch: int) -> np.ndarray:

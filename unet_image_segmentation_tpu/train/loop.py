@@ -122,6 +122,25 @@ def fit(
     # unrelated code in the same process.
     if train_ds is None or val_ds is None:
         train_ds, val_ds = make_loaders(cfg)
+    if cfg.data.auto_pack:
+        # Directory datasets pack themselves on the first epoch and serve
+        # every later epoch from the mmap'd packed reader (data/autopack.py)
+        # — the reference directory contract stops being loader-bound
+        # without user action.  Non-directory datasets pass through.
+        from unet_image_segmentation_tpu.data.autopack import maybe_autopack
+
+        train_ds = maybe_autopack(
+            train_ds,
+            pack_dir=cfg.data.pack_dir,
+            fallback_dir=tcfg.model_out,
+            verbose=verbose,
+        )
+        val_ds = maybe_autopack(
+            val_ds,
+            pack_dir=cfg.data.pack_dir,
+            fallback_dir=tcfg.model_out,
+            verbose=verbose,
+        )
     if mesh is None:
         mcfg = cfg.mesh
         if mcfg.spatial_axis != 1 or mcfg.data_axis != -1:
