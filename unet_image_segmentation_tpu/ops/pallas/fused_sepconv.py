@@ -917,7 +917,7 @@ def _sepconv_pair_kernel_db(
     pool_f: int = 0,   # F2 when a fused 2x2 pool output is requested
     two_stream: bool = False,  # x + x2 interleaved per f-chunk in VMEM
     quant_out: bool = False,   # round+clip y2 to int8 (scales pre-folded)
-    n_strips: int = 1,  # column strips (wide-row mode, see docstring)
+    n_strips: int = 1,  # column strips (wide-row mode, see below)
     sw: int = 0,        # output columns (wp slices) per strip
     hs: int = 0,        # column halo wp-slices per side (1 if p>=2 else 2)
 ):
@@ -925,6 +925,21 @@ def _sepconv_pair_kernel_db(
     activation never leaves VMEM (one fewer full HBM round trip per
     encoder/bottleneck stage).  Input slabs carry 2-row halos (the chained
     3x3 receptive field).
+
+    **Wide-row (column-strip) mode** (``n_strips > 1``): at high
+    resolution no full-width row tile fits VMEM (1024px stage 1: even
+    4-row tiles blow the budget and their 2-row halos double the DMA
+    traffic), so the grid gains a second dimension over W-axis strips.
+    Each program processes ``sw`` output wp-slices with ``hs`` halo
+    wp-slices per side (``hs*p >= 2`` real columns — the chained 3x3
+    pair's column receptive field).  The caller pre-pads x with ``hs``
+    zero wp-slices per side so every strip's column window is in-bounds
+    (one XLA pad, ~one extra x-stream round trip per stage); y1 is
+    zeroed on wp-slices outside the true image (block2's 'same' padding
+    must see ZERO y1 beyond the image — the column analog of the row
+    kill below), and the fused pool output is staged in VMEM and DMA'd
+    per tile instead of living resident for the whole image height
+    (the 1024px resident pooled buffer alone was 33 MB).
 
     ``edge_ref`` supports spatially-sharded use (parallel/halo.py): a shard
     whose input carries 2 zero HALO rows at the true image edge sets the
@@ -938,15 +953,22 @@ def _sepconv_pair_kernel_db(
     VMEM-resident per-batch block packed p//2 (``p_ref``) — the encoder's
     2x2 max pool fused at the stage boundary, same selection-matmul
     scheme as the training tail kernels."""
+    strip = n_strips > 1
     rest = list(rest)
     x2_hbm = rest.pop(0) if two_stream else None
     out_hbm = rest.pop(0)
-    p_ref = rest.pop(0) if pool_f else None
+    p_ref = rest.pop(0) if pool_f else None  # VMEM block | HBM (strip mode)
     xbuf = rest.pop(0)
     x2buf = rest.pop(0) if two_stream else None
-    ybuf, in_sems, out_sems = rest
+    ybuf = rest.pop(0)
+    pbuf = rest.pop(0) if (strip and pool_f) else None
+    in_sems = rest.pop(0)
+    out_sems = rest.pop(0)
+    pool_sems = rest.pop(0) if (strip and pool_f) else None
     b = pl.program_id(0)
-    wp = xbuf.shape[2]
+    s = pl.program_id(1) if strip else 0
+    col0 = s * sw  # first input column of this strip in the PADDED x
+    wp = xbuf.shape[2]  # slab width: sw + 2*hs in strip mode, else Wp
     pcs = xbuf.shape[3]          # per-stream lane width
     pc = 2 * pcs if two_stream else pcs
     pf1 = pww1_ref.shape[1]
@@ -973,11 +995,18 @@ def _sepconv_pair_kernel_db(
     if two_stream:
         streams.append((x2_hbm, x2buf, 3))
 
+    def src(hbm, r0, nr):
+        # strip mode: the x stream is column-padded, so [col0, col0+wp)
+        # is always in-bounds; full-width mode slices rows only
+        if strip:
+            return hbm.at[b, pl.ds(r0, nr), pl.ds(col0, wp)]
+        return hbm.at[b, pl.ds(r0, nr)]
+
     def start_in(j, slot):
         row0 = j * tile_h
         for hbm, buf, off in streams:
             pltpu.make_async_copy(
-                hbm.at[b, pl.ds(row0, tile_h)],
+                src(hbm, row0, tile_h),
                 buf.at[slot, pl.ds(2, tile_h)],
                 in_sems.at[slot, off],
             ).start()
@@ -985,7 +1014,7 @@ def _sepconv_pair_kernel_db(
             @pl.when(j > 0)
             def _():
                 pltpu.make_async_copy(
-                    hbm.at[b, pl.ds(row0 - 2, 2)],
+                    src(hbm, row0 - 2, 2),
                     buf.at[slot, pl.ds(0, 2)],
                     in_sems.at[slot, off + 1],
                 ).start()
@@ -993,7 +1022,7 @@ def _sepconv_pair_kernel_db(
             @pl.when(j < n_tiles - 1)
             def _():
                 pltpu.make_async_copy(
-                    hbm.at[b, pl.ds(row0 + tile_h, 2)],
+                    src(hbm, row0 + tile_h, 2),
                     buf.at[slot, pl.ds(tile_h + 2, 2)],
                     in_sems.at[slot, off + 2],
                 ).start()
@@ -1002,7 +1031,7 @@ def _sepconv_pair_kernel_db(
         row0 = j * tile_h
         for hbm, buf, off in streams:
             pltpu.make_async_copy(
-                hbm.at[b, pl.ds(row0, tile_h)],
+                src(hbm, row0, tile_h),
                 buf.at[slot, pl.ds(2, tile_h)],
                 in_sems.at[slot, off],
             ).wait()
@@ -1010,7 +1039,7 @@ def _sepconv_pair_kernel_db(
             @pl.when(j > 0)
             def _():
                 pltpu.make_async_copy(
-                    hbm.at[b, pl.ds(row0 - 2, 2)],
+                    src(hbm, row0 - 2, 2),
                     buf.at[slot, pl.ds(0, 2)],
                     in_sems.at[slot, off + 1],
                 ).wait()
@@ -1023,7 +1052,7 @@ def _sepconv_pair_kernel_db(
             @pl.when(j < n_tiles - 1)
             def _():
                 pltpu.make_async_copy(
-                    hbm.at[b, pl.ds(row0 + tile_h, 2)],
+                    src(hbm, row0 + tile_h, 2),
                     buf.at[slot, pl.ds(tile_h + 2, 2)],
                     in_sems.at[slot, off + 2],
                 ).wait()
@@ -1038,10 +1067,20 @@ def _sepconv_pair_kernel_db(
                 )
 
     def out_copy(j, slot):
+        if strip:
+            dst = out_hbm.at[
+                b, pl.ds(j * tile_h, tile_h), pl.ds(s * sw, sw)
+            ]
+        else:
+            dst = out_hbm.at[b, pl.ds(j * tile_h, tile_h)]
+        return pltpu.make_async_copy(ybuf.at[slot], dst, out_sems.at[slot])
+
+    def pool_copy(j, slot):
+        th2 = tile_h // 2
         return pltpu.make_async_copy(
-            ybuf.at[slot],
-            out_hbm.at[b, pl.ds(j * tile_h, tile_h)],
-            out_sems.at[slot],
+            pbuf.at[slot],
+            p_ref.at[b, pl.ds(j * th2, th2), pl.ds(s * sw, sw)],
+            pool_sems.at[slot],
         )
 
     start_in(0, 0)
@@ -1095,6 +1134,15 @@ def _sepconv_pair_kernel_db(
             kill, jnp.logical_and(edge_ref[0, 1] == 1, gr >= h_total - 2)
         )
         y1 = jnp.where(kill, 0.0, y1)
+        if strip:
+            # column analog: slab wp-slices whose real columns lie outside
+            # the image (the caller's zero pad slices) must carry ZERO y1
+            # for block2's 'same' padding.  Pad granularity is whole
+            # wp-slices, so a per-slice mask is exact.
+            cids = jax.lax.broadcasted_iota(jnp.int32, (1, wp, 1), 1)
+            gcol = col0 + cids - hs
+            ckill = jnp.logical_or(gcol < 0, gcol >= n_strips * sw)
+            y1 = jnp.where(ckill, 0.0, y1)
         y1 = y1.astype(cdtype)
 
         # block2 over the TH centre rows (y1's own rows provide the halo)
@@ -1109,27 +1157,43 @@ def _sepconv_pair_kernel_db(
             # are exact in bf16, and round/clip are monotone, so
             # pool(quant(y)) == quant(pool(y)).
             y2 = jnp.round(jnp.minimum(y2, 127.0))
-        y2c = y2.reshape(tile_h, wp, pf2).astype(ybuf.dtype)
+        y2f = y2.reshape(tile_h, wp, pf2)
+        if strip:  # central sw wp-slices are this strip's output columns
+            y2f = y2f[:, hs : hs + sw]
+        y2c = y2f.astype(ybuf.dtype)
         ybuf[slot] = y2c
         out_copy(j, slot).start()
         if pool_f:
-            pool_in = (
-                y2.reshape(tile_h, wp, pf2).astype(cdtype)
-                if quant_out
-                else y2c
+            pool_in = y2f.astype(cdtype) if quant_out else y2c
+            pooled = _pool_tile(
+                pool_in, tile_h, sw if strip else wp, pf2, sel_e, sel_o
             )
-            p_ref[0, pl.ds(j * (tile_h // 2), tile_h // 2)] = _pool_tile(
-                pool_in, tile_h, wp, pf2, sel_e, sel_o
-            ).astype(p_ref.dtype)
+            if strip:
+
+                @pl.when(j >= 2)
+                def _():
+                    pool_copy(j - 2, slot).wait()
+
+                pbuf[slot] = pooled.astype(pbuf.dtype)
+                pool_copy(j, slot).start()
+            else:
+                p_ref[0, pl.ds(j * (tile_h // 2), tile_h // 2)] = (
+                    pooled.astype(p_ref.dtype)
+                )
         return ()
 
     jax.lax.fori_loop(0, n_tiles, body, (), unroll=False)
 
+    def drain(jt):
+        out_copy(jt, jax.lax.rem(jt, 2)).wait()
+        if strip and pool_f:
+            pool_copy(jt, jax.lax.rem(jt, 2)).wait()
+
     @pl.when(n_tiles >= 2)
     def _():
-        out_copy(n_tiles - 2, jax.lax.rem(n_tiles - 2, 2)).wait()
+        drain(n_tiles - 2)
 
-    out_copy(n_tiles - 1, jax.lax.rem(n_tiles - 1, 2)).wait()
+    drain(n_tiles - 1)
 
 
 def _fold_affine(bias, bn_scale, bn_offset, bn_mean, bn_var, f, eps=1e-3):
@@ -1142,6 +1206,101 @@ def _fold_affine(bias, bn_scale, bn_offset, bn_mean, bn_var, f, eps=1e-3):
         scale = jnp.ones((f,), jnp.float32)
         shift = bias.astype(jnp.float32) if bias is not None else jnp.zeros((f,), jnp.float32)
     return scale, shift
+
+
+# Introspection for tests/benchmarks: the last fused_sepconv_pair call's
+# chosen tiling (tile_h, n_strips, sw, hs, wp, p).
+LAST_PAIR_PLAN: dict = {}
+
+# Wide-row mode engages only while its slab DMA bytes stay under this
+# multiple of the useful output bytes (beyond it the single-block
+# fallback's straight streams win).  Tests widen it to force strips on
+# small shapes.
+STRIP_OVERHEAD_MAX = 1.7
+
+
+def _pair_tile_plan(
+    h: int,
+    wp: int,
+    p: int,
+    pc: int,
+    pf1: int,
+    pf2: int,
+    in_b: int,
+    out_b: int,
+    pool: bool,
+) -> Optional[Tuple[int, int, int, int]]:
+    """Pick the pair kernel's tiling: ``(tile_h, n_strips, sw, hs)``.
+
+    First try full-width row tiles (the 256/512px fast path: one DMA per
+    slab piece, no column halos).  When no full-width tile >= 8 rows fits
+    the VMEM budget — 1024px-class shapes, where 2-row halos on a 4-row
+    tile would double the DMA traffic — fall back to wide-row COLUMN
+    STRIPS: ``n_strips`` W-axis strips of ``sw`` output wp-slices with
+    ``hs`` halo wp-slices per side (``hs*p >= 2`` real columns feeds the
+    chained 3x3 receptive field), choosing the (sw, tile_h) pair that
+    minimizes slab-bytes-per-output-byte.  Returns None when neither mode
+    fits with acceptable overhead (callers fall back to two single-block
+    kernels).
+    """
+    budget, slack = vmem_budget(9), 1.4
+    resident = (h // 2) * wp * max(pf2 // 2, LANE) * out_b if pool else 0
+    tile_h = 1
+    for cand in (32, 16, 8, 4, 2):
+        if h % cand:
+            continue
+        # working set: 2 slabs (TH+4) + y1 (TH+2) fp32+bf16 + y2 buffers
+        working = (
+            resident
+            + 2 * (cand + 4) * wp * pc * in_b
+            + (cand + 2) * wp * pf1 * (4 + 2)
+            + cand * wp * pf2 * (4 + 2 * out_b)
+        )
+        if working * slack <= budget:
+            tile_h = cand
+            break
+    if tile_h >= 8 or h < 16:
+        if pool and tile_h % 2:
+            # no even tile candidate fit (possible only for h < 16 with
+            # very wide rows): the pooled-output write needs whole 2-row
+            # pairs per tile
+            return None
+        return tile_h, 1, wp, 0
+    # wide-row mode: the fused pool output is DMA'd per tile (staging
+    # buffer in the working set), so no resident term.  Mosaic DMA slices
+    # along the sublane (wp) axis must be aligned to the dtype tiling —
+    # 8 sublanes for f32/bf16, 32 for int8 — so strip widths are multiples
+    # of the alignment and the halo is half a tile per side (the minimum
+    # aligned halo; it also always covers the >= 2 real columns the
+    # chained 3x3 pair needs).
+    align = 32 if in_b == 1 else 8
+    hs = align // 2
+    best = None
+    for sw_c in (256, 128, 64, 32, 16, 8):
+        if sw_c >= wp or wp % sw_c or sw_c % align:
+            continue
+        wpb = sw_c + 2 * hs
+        for th in (32, 16, 8):
+            if h % th or (pool and th % 2):
+                continue
+            working = (
+                2 * (th + 4) * wpb * pc * in_b
+                + (th + 2) * wpb * pf1 * (4 + 2)
+                + th * wpb * pf2 * 4
+                + 2 * th * sw_c * pf2 * out_b
+                + (th * sw_c * (pf2 // 2) * out_b if pool else 0)
+            )
+            if working * slack > budget:
+                continue
+            overhead = ((th + 4) * wpb) / (th * sw_c)
+            if best is None or overhead < best[0]:
+                best = (overhead, sw_c, th)
+    # beyond ~STRIP_OVERHEAD_MAX slab overhead the single-block
+    # fallback's straight streams win
+    if best is None or best[0] > STRIP_OVERHEAD_MAX:
+        return None
+    _, sw, tile_h = best
+    return tile_h, wp // sw, sw, hs
 
 
 def pair_pack(c: int, f1: int, f2: int, w: int) -> Optional[int]:
@@ -1316,31 +1475,13 @@ def fused_sepconv_pair(
     xp = x if (in_packed and in_packed > 1) else x.reshape(b, h, wp, pc)
     in_b = 1 if quant_in else 2          # slab bytes/elem
     out_b = 1 if out_scale is not None else 2
-    # working set: 2 slabs (TH+4) + y1 (TH+2) fp32+bf16 + y2 buffers
-    budget, slack = vmem_budget(9), 1.4
-    resident = (h // 2) * wp * max(pf2 // 2, LANE) * out_b if pool else 0
-    tile_h = 1
-    for cand in (32, 16, 8, 4, 2):
-        if h % cand:
-            continue
-        working = (
-            resident
-            + 2 * (cand + 4) * wp * pc * in_b
-            + (cand + 2) * wp * pf1 * (4 + 2)
-            + cand * wp * pf2 * (4 + 2 * out_b)
-        )
-        if working * slack <= budget:
-            tile_h = cand
-            break
-    if tile_h < 8 and h >= 16:
-        # halo overhead dominates small pair tiles (measured at 1024px:
-        # two single-block kernels win); let the caller fall back.
+    plan = _pair_tile_plan(h, wp, p, pc, pf1, pf2, in_b, out_b, pool)
+    if plan is None:
         return None
-    if pool and tile_h % 2:
-        # no even tile candidate fit in VMEM (possible only for h < 16
-        # with very wide rows): the pooled-output write needs whole 2-row
-        # pairs per tile, so fall back rather than emit a zero-sized write
-        return None
+    tile_h, n_strips, sw, hs = plan
+    LAST_PAIR_PLAN.update(
+        tile_h=tile_h, n_strips=n_strips, sw=sw, hs=hs, wp=wp, p=p
+    )
     n_tiles = h // tile_h
     kernel = functools.partial(
         _sepconv_pair_kernel_db,
@@ -1351,6 +1492,9 @@ def fused_sepconv_pair(
         pool_f=f2 if pool else 0,
         two_stream=x2 is not None,
         quant_out=out_scale is not None,
+        n_strips=n_strips,
+        sw=sw,
+        hs=hs,
     )
     if edge_flags is None:
         edges = jnp.zeros((1, 2), jnp.int32)
@@ -1358,44 +1502,62 @@ def fused_sepconv_pair(
         edges = jnp.stack(
             [jnp.asarray(e, jnp.int32) for e in edge_flags]
         ).reshape(1, 2)
+    strip = n_strips > 1
+    if strip:
+        # pre-pad x in W with hs zero wp-slices per side so every strip's
+        # column window is in-bounds (and the pad IS the 'same' padding
+        # at the true image edge)
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (hs, hs), (0, 0)))
+        if x2 is not None:
+            x2 = jnp.pad(x2, ((0, 0), (0, 0), (hs, hs), (0, 0)))
+    slab_w = sw + 2 * hs if strip else wp
     out_specs = pl.BlockSpec(memory_space=pl.ANY)
     out_shape = jax.ShapeDtypeStruct((b, h, wp, pf2), out_dtype)
     if pool:
-        out_specs = (
-            out_specs,
-            pl.BlockSpec(
+        if strip:
+            pool_spec = pl.BlockSpec(memory_space=pl.ANY)
+        else:
+            pool_spec = pl.BlockSpec(
                 (1, h // 2, wp, pf2 // 2),
                 lambda bi: (bi, 0, 0, 0),
                 memory_space=pltpu.VMEM,
-            ),
-        )
+            )
+        out_specs = (out_specs, pool_spec)
         out_shape = (
             out_shape,
             jax.ShapeDtypeStruct((b, h // 2, wp, pf2 // 2), out_dtype),
         )
     in_specs = (
         [
-            pl.BlockSpec((1, 2), lambda bi: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 2), lambda *_: (0, 0), memory_space=pltpu.SMEM
+            ),
             pl.BlockSpec(memory_space=pl.ANY),
         ]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
     )
     operands = [edges, xp, dwk1, pww1, aff1, dwk2, pww2, aff2]
-    scratch = [pltpu.VMEM((2, tile_h + 4, wp, xp.shape[-1]), x.dtype)]
+    scratch = [pltpu.VMEM((2, tile_h + 4, slab_w, xp.shape[-1]), x.dtype)]
     if x2 is not None:
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         operands.append(x2)
         scratch.append(
-            pltpu.VMEM((2, tile_h + 4, wp, x2.shape[-1]), x2.dtype)
+            pltpu.VMEM((2, tile_h + 4, slab_w, x2.shape[-1]), x2.dtype)
+        )
+    scratch.append(pltpu.VMEM((2, tile_h, sw, pf2), out_dtype))
+    if strip and pool:
+        scratch.append(
+            pltpu.VMEM((2, tile_h // 2, sw, pf2 // 2), out_dtype)
         )
     scratch += [
-        pltpu.VMEM((2, tile_h, wp, pf2), out_dtype),
         pltpu.SemaphoreType.DMA((2, 6 if x2 is not None else 3)),
         pltpu.SemaphoreType.DMA((2,)),
     ]
+    if strip and pool:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
     out = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b, n_strips) if strip else (b,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,

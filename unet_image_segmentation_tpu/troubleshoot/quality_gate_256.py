@@ -45,10 +45,17 @@ import numpy as np
 
 HW = 256
 BATCH = 2  # the reference default (scripts/train.py:72)
-N_TRAIN, N_VAL = 64, 16
+# Round-5 power-up (VERDICT r4 item 5): the hard-scene TF spread across
+# seeds measured 4.6 IoU points — nine gate widths — so 2 seeds / 16 val
+# scenes could not resolve the 0.5% threshold it claims.  4 PAIRED seeds
+# (same scenes, same seed list on both stacks, per-seed deltas reported)
+# and a 128-scene val set bring the paired-delta standard error near the
+# gate width; the report records the spread so the artifact shows its
+# own resolution.
+N_TRAIN, N_VAL = 64, 128
 STEPS_PER_EPOCH = N_TRAIN // BATCH  # 32
 EPOCHS = 24  # 24 * 32 = 768 BN updates
-SEEDS = (2301, 7)
+SEEDS = (2301, 7, 23, 42)
 
 
 def _thresholded_iou(y_true: np.ndarray, y_prob: np.ndarray, thr: float = 0.5) -> float:
@@ -170,6 +177,15 @@ def stage_report(workdir: str, out: str, style: str = "easy") -> None:
     ious_tf = [tf_res[s] for s in seeds]
     ious_jax = [jax_res[s] for s in seeds]
     mean_tf, mean_jax = float(np.mean(ious_tf)), float(np.mean(ious_jax))
+    # PAIRED design: both stacks train on identical scenes with the same
+    # seed list, so the per-seed delta cancels the (large) scene/seed
+    # variance; the gate question is about the mean paired delta and its
+    # standard error, not the raw per-stack spread.
+    deltas = [j - t for j, t in zip(ious_jax, ious_tf)]
+    delta_std = float(np.std(deltas, ddof=1)) if len(deltas) > 1 else None
+    delta_sem = (
+        delta_std / float(np.sqrt(len(deltas))) if delta_std is not None else None
+    )
     artifact = {
         "setup": {
             "image_size": HW, "epochs": EPOCHS, "batch": BATCH,
@@ -185,6 +201,11 @@ def stage_report(workdir: str, out: str, style: str = "easy") -> None:
         "val_iou_tf_mean": round(mean_tf, 4),
         "val_iou_jax_mean": round(mean_jax, 4),
         "delta": round(mean_jax - mean_tf, 4),
+        "delta_per_seed": [round(d, 4) for d in deltas],
+        "delta_std": round(delta_std, 4) if delta_std is not None else None,
+        "delta_sem": round(delta_sem, 4) if delta_sem is not None else None,
+        "tf_seed_spread": round(max(ious_tf) - min(ious_tf), 4),
+        "jax_seed_spread": round(max(ious_jax) - min(ious_jax), 4),
         "within_gate": bool(mean_jax >= mean_tf - 0.005),
     }
     with open(out, "w") as f:
