@@ -173,14 +173,18 @@ def write_synthetic_multiclass_dataset(
     image_size: Tuple[int, int] = (64, 64),
     num_classes: int = 3,
     seed: int = 230,
+    style: str = "easy",
 ) -> str:
     """Multi-class variant (BASELINE configs[3]): class-id masks.
 
     Class 0 = background, 1 = document quad, 2 = a circular 'seal'
     (and further ellipses for num_classes > 3). Masks store raw class ids.
+    ``style='hard'`` renders the cluttered/occluded scenes of
+    :func:`render_sample_hard` (the de-saturated quality-gate style).
     """
     import cv2
 
+    render = render_sample_hard if style == "hard" else render_sample
     rng = np.random.RandomState(seed)
     h, w = image_size
     for split, n in {"train": n_train, "val": n_val}.items():
@@ -189,7 +193,7 @@ def write_synthetic_multiclass_dataset(
         os.makedirs(fdir, exist_ok=True)
         os.makedirs(mdir, exist_ok=True)
         for i in range(n):
-            img, mask255, quad = render_sample(rng, h, w)
+            img, mask255, quad = render(rng, h, w)
             mask = (mask255 > 0).astype(np.uint8)  # class 1
             center = quad.mean(axis=0)
             for cls in range(2, num_classes):

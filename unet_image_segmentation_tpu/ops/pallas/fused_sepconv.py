@@ -1218,6 +1218,14 @@ LAST_PAIR_PLAN: dict = {}
 # small shapes.
 STRIP_OVERHEAD_MAX = 1.7
 
+# Strip engagement for kernels with QUANTIZED output is adjudicated OFF:
+# the int8 graph's single-block fallback streams 1-byte tensors, and the
+# measured 1080p int8 A/B is 94.4 fps with strips vs 96.8 without
+# (round 5, v5e) — the float-input slab overhead outweighs the y1
+# round-trip it saves.  The kernel path stays correct (tests force it on
+# via this flag); only the default heuristic refuses.
+STRIP_ALLOW_QUANT = False
+
 
 def _pair_tile_plan(
     h: int,
@@ -1266,6 +1274,8 @@ def _pair_tile_plan(
             # pairs per tile
             return None
         return tile_h, 1, wp, 0
+    if (in_b == 1 or out_b == 1) and not STRIP_ALLOW_QUANT:
+        return None  # see STRIP_ALLOW_QUANT adjudication note
     # wide-row mode: the fused pool output is DMA'd per tile (staging
     # buffer in the working set), so no resident term.  Mosaic DMA slices
     # along the sublane (wp) axis must be aligned to the dtype tiling —
