@@ -6,11 +6,12 @@ quality head-to-head existed only for binary 256px.  This leg runs the
 same PAIRED protocol as ``quality_gate_256`` at 512x512 with 3 classes
 on hard scenes and reports per-class IoU for both stacks.
 
-Cost note: the TF half runs ~4x slower per step than 256px on this CPU,
-so this leg uses 2 paired seeds and 12 epochs (384 BN updates — the BN
-running stats carry a ~2% residual on BOTH stacks; the paired delta is
-still fair because the schedules are identical, and the artifact records
-the residual).  Losses: ours ``cce``; TF ``SparseCategoricalCrossentropy``
+Cost note: the TF half runs ~4x slower per step than 256px on this CPU.
+12 epochs measured as undertrained (both-stack background collapse at
+512px — a gate that cannot discriminate), so the leg runs the full
+768-step schedule (24 epochs, the 256-leg protocol) and bounds the TF
+cost with ``--seeds`` (the committed artifact pairs 1 seed for TF and
+records that).  Losses: ours ``cce``; TF ``SparseCategoricalCrossentropy``
 on the softmax head — the same clipped-CE semantics pinned in
 ``tests/test_multiclass.py``.
 
@@ -37,7 +38,7 @@ BATCH = 2
 N_CLASSES = 3
 N_TRAIN, N_VAL = 64, 64
 STEPS_PER_EPOCH = N_TRAIN // BATCH
-EPOCHS = 12  # 384 BN updates; see cost note above
+EPOCHS = 24  # 768 BN updates (0.99^768 ~ 4e-4 residual)
 SEEDS = (2301, 7)
 
 
@@ -183,10 +184,6 @@ def stage_report(workdir: str, out: str) -> None:
             "batch": BATCH, "n_train": N_TRAIN, "n_val": N_VAL,
             "bn": True, "dropout": 0.0,
             "bn_updates": EPOCHS * STEPS_PER_EPOCH,
-            "bn_residual_note": (
-                "0.99^384 ~ 2% residual on BOTH stacks (identical "
-                "schedules; paired delta unaffected)"
-            ),
             "seeds": [int(s) for s in seeds],
             "scene_style": "hard",
             "loss": "cce (ours) / SparseCategoricalCrossentropy (TF)",
@@ -209,11 +206,17 @@ def stage_report(workdir: str, out: str) -> None:
 
 
 def main(argv=None) -> int:
+    global SEEDS
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--workdir", required=True)
     p.add_argument(
         "--stage", required=True,
         choices=["data", "tf", "jax", "report", "all"],
+    )
+    p.add_argument(
+        "--seeds", type=int, default=len(SEEDS),
+        help="run only the first N seeds of the paired list (TF-CPU "
+        "cost control; report pairs the intersection)",
     )
     p.add_argument(
         "--out",
@@ -224,6 +227,7 @@ def main(argv=None) -> int:
         ),
     )
     args = p.parse_args(argv)
+    SEEDS = SEEDS[: args.seeds]
     os.makedirs(args.workdir, exist_ok=True)
     stages = (
         ["data", "tf", "jax", "report"] if args.stage == "all" else [args.stage]
