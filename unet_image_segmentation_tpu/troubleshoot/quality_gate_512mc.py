@@ -41,6 +41,13 @@ STEPS_PER_EPOCH = N_TRAIN // BATCH
 EPOCHS = 24  # 768 BN updates (0.99^768 ~ 4e-4 residual)
 SEEDS = (2301, 7)
 
+# Measured on this 1-CPU host: the TF half costs ~12 s/step at 512px
+# (387 s/epoch -> ~2.6 h for the 768-step schedule) — infeasible inside
+# one round.  ``--hw 256`` runs the same paired 3-class protocol at
+# 256px (~3 s/step TF), which isolates the multiclass/softmax-head
+# quality question from the resolution one; the binary 256/512 gates
+# and the 512px-jax-half artifact cover the rest.
+
 
 def _per_class_iou(y_true_ids: np.ndarray, y_pred_ids: np.ndarray, n: int):
     ious = []
@@ -206,7 +213,7 @@ def stage_report(workdir: str, out: str) -> None:
 
 
 def main(argv=None) -> int:
-    global SEEDS
+    global SEEDS, HW, EPOCHS
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--workdir", required=True)
     p.add_argument(
@@ -219,14 +226,23 @@ def main(argv=None) -> int:
         "cost control; report pairs the intersection)",
     )
     p.add_argument(
-        "--out",
-        default=os.path.join(
+        "--hw", type=int, default=HW,
+        help="image side; 256 runs the same paired 3-class protocol "
+        "at the TF-feasible resolution (see module docstring)",
+    )
+    p.add_argument(
+        "--epochs", type=int, default=EPOCHS,
+        help="override the 24-epoch (768-step) schedule",
+    )
+    p.add_argument("--out", default=None)
+    args = p.parse_args(argv)
+    HW, EPOCHS = args.hw, args.epochs
+    if args.out is None:
+        args.out = os.path.join(
             os.path.dirname(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__)))),
-            "QUALITY_512_MC.json",
-        ),
-    )
-    args = p.parse_args(argv)
+            f"QUALITY_{HW}_MC.json",
+        )
     SEEDS = SEEDS[: args.seeds]
     os.makedirs(args.workdir, exist_ok=True)
     stages = (

@@ -64,6 +64,28 @@ def hlo_source_map(hlo_text: str):
     return out
 
 
+def hlo_op_info(hlo_text: str):
+    """{hlo_op_name: (result_shape, 'file.py:line'|None)} for EVERY op.
+
+    Used by ``--glue-detail`` to name the non-kernel ops (reshapes,
+    copies, fusions) the profiler reports: the result shape says which
+    tensor is being repacked/relaid, the source line says which jnp op
+    emitted it.
+    """
+    out = {}
+    head = re.compile(r"%([\w.\-]+) = (\(?[a-z0-9]+\[[^\]=]*\])")
+    src_pat = re.compile(r'source_file="([^"]+)" source_line=(\d+)')
+    for line in hlo_text.splitlines():
+        m = head.search(line)
+        if m is None:
+            continue
+        name, shape = m.groups()
+        sm = src_pat.search(line)
+        src = f"{os.path.basename(sm.group(1))}:{sm.group(2)}" if sm else None
+        out[name] = (shape, src)
+    return out
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument(
@@ -73,6 +95,11 @@ def main(argv=None) -> int:
                 os.path.abspath(__file__)))),
             "STEP_ATTRIBUTION.json",
         ),
+    )
+    p.add_argument(
+        "--glue-detail", action="store_true",
+        help="also report the top non-kernel ops individually "
+        "(shape + emitting source line) instead of only family rollups",
     )
     args = p.parse_args(argv)
 
@@ -111,6 +138,8 @@ def main(argv=None) -> int:
     dev = next(v for k, v in ops.items() if "TPU" in k)
     per_site = collections.defaultdict(float)
     glue = collections.defaultdict(float)
+    glue_ops = []
+    opinfo = hlo_op_info(hlo) if args.glue_detail else {}
     for name, ms in dev.items():
         site = srcmap.get(name)
         if site is not None:
@@ -118,6 +147,11 @@ def main(argv=None) -> int:
         else:
             fam = re.sub(r"[._-]?\d+$", "", name)
             glue[fam] += ms / STEPS
+            if args.glue_detail and ms / STEPS >= 0.03:
+                shape, src = opinfo.get(name, (None, None))
+                glue_ops.append(
+                    (round(ms / STEPS, 3), name, shape, src)
+                )
     total = sum(dev.values()) / STEPS
     kern = sum(per_site.values())
     record = {
@@ -135,6 +169,11 @@ def main(argv=None) -> int:
             if v >= 0.05
         },
     }
+    if args.glue_detail:
+        record["glue_ops"] = [
+            {"ms": ms, "op": name, "shape": shape, "src": src}
+            for ms, name, shape, src in sorted(glue_ops, reverse=True)
+        ]
     with open(args.out, "w") as f:
         json.dump(record, f, indent=2)
     print(json.dumps(record, indent=2))
